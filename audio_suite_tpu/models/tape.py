@@ -1,0 +1,295 @@
+"""TapeTUC engine — offline varispeed tape rendering.
+
+Re-creates the full capability of the reference's realtime looper
+(tape-tuc-main/Tape_TUC_23-11-25_auto-slice_n_record.py) as an offline,
+jit-compiled render:
+
+- markers -> sections with per-section speed (0.25-4) and reverse
+  (Tape…py:491-543)
+- duration-preserving "Fit to Target Time" retime (Tape…py:665-705)
+- tape-age wow/flutter speed modulation (Tape…py:794-798, 884-891)
+- anti-click boundary dips and splice envelopes (Tape…py:838-858)
+- optional motor inertia (one-pole speed smoothing, Tape…py:874-882)
+- energy-flux beat detection -> markers (Tape…py:913-995)
+- undo stack over parameter snapshots (Tape…py:707-759)
+
+"Recording" in the reference is a tap on the realtime output loop
+(Tape…py:908-909); offline, the render *is* the recording — `render_tape`
+returns the full output, and `write_wav` saves it (PCM_16 parity with
+Tape…py:342).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import fixq
+from ..ops.varispeed import TapeConsts, tape_scan_render
+from ..utils import io as audio_io
+
+
+@dataclass
+class TapeParams:
+    """Full parameter state of a tape session (the reference's undo-snapshot
+    key set, Tape…py:707-724)."""
+    sample_rate: int = 48000
+    markers: list = field(default_factory=list)          # sorted sample indices
+    section_speeds: list = field(default_factory=lambda: [1.0])
+    section_reverse: list = field(default_factory=lambda: [False])
+    tape_age: int = 50
+    enable_splice_fx: bool = True
+    anticlick_enabled: bool = True
+    anticlick_amount: int = 50
+    inertia_enabled: bool = False
+    inertia_amount: int = 50
+    current_speed: float = 1.0
+    play_pos: float = 0.0
+    boundary_smooth_len: int = 400
+    splice_env_len: int = 256
+
+    def snapshot(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @staticmethod
+    def from_snapshot(d: dict) -> "TapeParams":
+        return TapeParams(**d)
+
+
+class UndoStack:
+    """50-deep parameter-state undo (Tape…py:707-759)."""
+
+    def __init__(self, depth: int = 50):
+        self.depth = depth
+        self._stack: list[dict] = []
+
+    def push(self, params: TapeParams):
+        self._stack.append(params.snapshot())
+        if len(self._stack) > self.depth:
+            self._stack.pop(0)
+
+    def pop(self) -> Optional[TapeParams]:
+        if not self._stack:
+            return None
+        return TapeParams.from_snapshot(self._stack.pop())
+
+    def __len__(self):
+        return len(self._stack)
+
+
+def sections_from_markers(markers, num_samples):
+    """starts = [0]+markers, ends = markers+[N] (Tape…py:491-501)."""
+    m = sorted(int(x) for x in markers)
+    starts = np.asarray([0] + m, dtype=np.int32)
+    ends = np.asarray(m + [int(num_samples)], dtype=np.int32)
+    return starts, ends
+
+
+def boundary_array(markers, num_samples):
+    s = set(int(x) for x in markers)
+    s.add(0)
+    if num_samples > 0:
+        s.add(int(num_samples) - 1)
+    return np.asarray(sorted(s), dtype=np.int32)
+
+
+def fit_to_target_time(params: TapeParams, num_samples: int,
+                       target_seconds: float) -> list[float]:
+    """Duration-preserving retime: scales all section speeds by k =
+    current_total_time / target, clamped to [0.25, 4] (Tape…py:665-705).
+    Preserves speed *ratios* between sections."""
+    if target_seconds <= 0 or num_samples <= 0:
+        return list(params.section_speeds)
+    sr = float(params.sample_rate)
+    starts, ends = sections_from_markers(params.markers, num_samples)
+    speeds = list(params.section_speeds)
+    total_time = 0.0
+    for i in range(len(starts)):
+        length = max(1, int(ends[i]) - int(starts[i]))
+        v = speeds[i] if i < len(speeds) and speeds[i] > 0 else 1.0
+        total_time += length / (v * sr)
+    if total_time <= 0:
+        return speeds
+    k = total_time / target_seconds
+    return [float(np.clip(v * k, 0.25, 4.0)) for v in speeds]
+
+
+def section_render_length(params: TapeParams, num_samples: int) -> int:
+    """Output length for one full pass over the tape at the configured
+    per-section speeds (ignoring wow/flutter): sum_i len_i / v_i."""
+    starts, ends = sections_from_markers(params.markers, num_samples)
+    speeds = params.section_speeds
+    total = 0.0
+    for i in range(len(starts)):
+        length = max(1, int(ends[i]) - int(starts[i]))
+        v = speeds[i] if i < len(speeds) and speeds[i] > 0 else 1.0
+        total += length / v
+    return int(round(total))
+
+
+def wow_flutter_mod(num_frames: int, sample_rate: int, tape_age: int,
+                    wow_phase0: float = 0.0, flutter_phase0: float = 0.0):
+    """Precomputed, quantized per-sample speed modulation.
+
+    mod = clip(1 + wow_depth sin(wow) + flutter_depth sin(flutter), 0.1, 3)
+    with depths scaled by tape age (Tape…py:794-798, 884-891).  Computed once
+    on host in f64 and quantized; both the engine and the oracle consume this
+    same array, so the position integrals agree exactly.
+    """
+    a = max(0.0, min(1.0, tape_age / 100.0))
+    wow_depth = 0.001 + 0.006 * a
+    flutter_depth = 0.0005 + 0.003 * a
+    dt = 1.0 / float(sample_rate)
+    i = np.arange(num_frames, dtype=np.float64)
+    wow_p = wow_phase0 + 2.0 * np.pi * 0.4 * dt * i
+    flt_p = flutter_phase0 + 2.0 * np.pi * 7.0 * dt * i
+    mod = 1.0 + wow_depth * np.sin(wow_p) + flutter_depth * np.sin(flt_p)
+    mod = np.clip(mod, 0.1, 3.0)
+    return fixq.quantize_f32_np(mod.astype(np.float32))
+
+
+def splice_envelope(env_len: int = 256) -> np.ndarray:
+    """1 + 0.8 e^{-5x} over env_len samples (Tape…py:83-88)."""
+    x = np.linspace(0, 1, env_len, dtype=np.float32)
+    return (1.0 + 0.8 * np.exp(-5.0 * x)).astype(np.float32)
+
+
+def build_tape_program(audio: np.ndarray, params: TapeParams, num_frames: int):
+    """Precompute every array/constant the render kernels (and the NumPy
+    oracle) need. Returns a dict of host NumPy arrays + a TapeConsts."""
+    audio = np.asarray(audio, np.float32)
+    n = len(audio)
+    if n < 2:
+        raise ValueError("tape render needs at least 2 samples of audio")
+
+    starts, ends = sections_from_markers(params.markers, n)
+    nsec = len(starts)
+    speeds = [abs(float(params.section_speeds[i])) if i < len(params.section_speeds)
+              else 1.0 for i in range(nsec)]
+    revs = [bool(params.section_reverse[i]) if i < len(params.section_reverse)
+            else False for i in range(nsec)]
+    speeds_q = fixq.quantize_f32_np(np.asarray(speeds, np.float32))
+
+    dt = 1.0 / float(params.sample_rate)
+    if params.inertia_enabled and params.inertia_amount > 0:
+        tau = (20.0 + 480.0 * (params.inertia_amount / 100.0)) / 1000.0
+        alpha = min(1.0, dt / tau) if tau > 0 else 1.0
+    else:
+        alpha = 1.0
+
+    amt = max(0.0, min(1.0, params.anticlick_amount / 100.0))
+    consts = TapeConsts(
+        anticlick_on=bool(params.anticlick_enabled),
+        smooth_len=int(params.boundary_smooth_len),
+        anticlick_strength=float(np.float32(0.3 + 0.5 * amt)),
+        splice_on=bool(params.enable_splice_fx),
+        inertia_on=bool(params.inertia_enabled and params.inertia_amount > 0),
+        alpha_q=float(np.float32(alpha)),
+        initial_speed_q=float(fixq.quantize_f32_np(
+            np.float32(abs(params.current_speed)))),
+    )
+
+    return {
+        "audio": audio,
+        "mod_q": wow_flutter_mod(num_frames, params.sample_rate, params.tape_age),
+        "starts": starts,
+        "ends": ends,
+        "speeds_q": np.asarray(speeds_q, np.float32),
+        "reverse": np.asarray(revs, np.bool_),
+        "boundaries": boundary_array(params.markers, n),
+        "splice_env": splice_envelope(params.splice_env_len),
+        "consts": consts,
+        "num_frames": int(num_frames),
+    }
+
+
+def render_tape(audio: np.ndarray, params: TapeParams,
+                num_frames: Optional[int] = None) -> np.ndarray:
+    """Offline render of `num_frames` output samples (default: one full
+    duration-preserving pass over the tape)."""
+    n = len(audio)
+    if num_frames is None:
+        num_frames = section_render_length(params, n)
+    prog = build_tape_program(audio, params, num_frames)
+    out, _ = tape_scan_render(
+        jnp.asarray(prog["audio"]), jnp.asarray(prog["mod_q"]),
+        jnp.asarray(prog["starts"]), jnp.asarray(prog["ends"]),
+        jnp.asarray(prog["speeds_q"]), jnp.asarray(prog["reverse"]),
+        jnp.asarray(prog["boundaries"]), jnp.asarray(prog["splice_env"]),
+        prog["consts"],
+    )
+    return np.asarray(out)
+
+
+def detect_beats(audio: np.ndarray, sample_rate: int,
+                 sensitivity: int = 50) -> list[int]:
+    """Energy-flux beat detection -> marker sample indices (Tape…py:913-995).
+
+    normalize -> 1024/512 frame energies -> 3-tap moving average -> positive
+    first difference -> threshold mean + sens*std -> local maxima with 0.2 s
+    minimum gap.
+    """
+    x = np.asarray(audio, np.float32)
+    n = len(x)
+    if n <= 0 or sample_rate <= 0:
+        return []
+    max_abs = float(np.max(np.abs(x))) if x.size else 0.0
+    if max_abs > 0:
+        x = x / max_abs
+
+    frame_size, hop = 1024, 512
+    if n < frame_size + 1:
+        return []
+    num_frames = 1 + (n - frame_size) // hop
+    if num_frames <= 1:
+        return []
+
+    # vectorized frame energies (reference loops per frame, Tape…py:939-944)
+    idx = np.arange(num_frames)[:, None] * hop + np.arange(frame_size)[None, :]
+    energies = np.sum(x[idx] * x[idx], axis=1, dtype=np.float32)
+
+    if num_frames >= 3:
+        kernel = np.ones(3, dtype=np.float32) / 3.0
+        e_smooth = np.convolve(energies, kernel, mode="same")
+    else:
+        e_smooth = energies
+
+    diff = np.maximum(e_smooth[1:] - e_smooth[:-1], 0.0)
+    if diff.size == 0:
+        return []
+    mean = float(np.mean(diff))
+    std = float(np.std(diff))
+    sens = sensitivity / 100.0
+    thresh = mean + sens * std
+    min_gap = max(1, int(0.2 * sample_rate / hop))
+
+    peaks = []
+    last_peak = -min_gap
+    for j in range(1, diff.size - 1):
+        v = diff[j]
+        if v < thresh:
+            continue
+        if not (v >= diff[j - 1] and v >= diff[j + 1]):
+            continue
+        if j - last_peak < min_gap:
+            continue
+        peaks.append(j)
+        last_peak = j
+
+    beats = [int(p * hop) for p in peaks]
+    return sorted(set(b for b in beats if 0 < b < n))
+
+
+def render_to_wav(in_path: str, out_path: str, params: TapeParams,
+                  num_frames: Optional[int] = None):
+    """Load -> render -> save (the offline equivalent of record/stop-record,
+    Tape…py:302-345; PCM_16 subtype parity with Tape…py:342)."""
+    audio, sr = audio_io.load_wav_mono(in_path)
+    if sr != params.sample_rate:
+        audio = audio_io.resample_to_rate(audio, sr, params.sample_rate)
+    out = render_tape(audio, params, num_frames)
+    audio_io.write_wav(out_path, out, params.sample_rate, subtype="PCM_16")
+    return out

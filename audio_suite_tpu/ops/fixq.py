@@ -1,0 +1,209 @@
+"""Exact int32 fixed-point tape-position arithmetic.
+
+Why this exists
+---------------
+The reference apps integrate tape position with per-sample Python-float (f64)
+accumulation (TapeTUC ``provide_samples``, tape-tuc-main/Tape_TUC_23-11-25_
+auto-slice_n_record.py:767-911; Scrubber cumulative varispeed,
+scrubber/scrubber_0.7.py:196-202; Grid Audio phase accumulator,
+grid_audio_app_0.2/grid_audio_app.py:786-814).  The target TPU has no float64,
+and f32 position accumulation over minutes of audio drifts by whole samples.
+Worse, varispeed playback makes *discrete* decisions from position (section
+lookup, splice-envelope triggers, phase resets); any last-ulp disagreement
+between a device kernel and a CPU oracle at a decision boundary snowballs into
+large audio deviations.
+
+So positions are represented exactly as an int32 pair::
+
+    pos = whole + frac * 2**-POS_FRAC_BITS,   frac in [0, POS_ONE)
+
+and every per-sample increment is quantized through *single-rounding* f32 ops
+(one IEEE multiply, one exact power-of-two scale, one rint) that produce
+bit-identical integers under XLA and NumPy.  All discrete decisions are then
+pure integer comparisons — the JAX engines and the NumPy oracles in
+``/root/repo/oracles`` agree bit-for-bit, and the remaining (continuous) audio
+math easily clears the −60 dBFS parity target in f32.
+
+Quantization fidelity vs. the reference's f64 semantics: increments are
+quantized to 2**-22 samples (≈2.4e-7); worst-case systematic drift over a
+minutes-long render is a few millisamples of timing — far below audibility and
+below the −60 dBFS budget.
+
+Both JAX and NumPy mirrors live here; oracles must call the ``*_np`` versions.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+POS_FRAC_BITS = 22
+POS_ONE = 1 << POS_FRAC_BITS          # 4194304
+POS_MASK = POS_ONE - 1
+POS_ONE_F = float(POS_ONE)
+POS_INV_F = np.float32(1.0 / POS_ONE)
+
+
+# ----------------------------------------------------------------------------
+# Quantization (single-rounding, deterministic across NumPy and XLA)
+# ----------------------------------------------------------------------------
+
+def quantize_f32(x):
+    """Round an f32 value to the 2**-POS_FRAC_BITS grid, staying in f32.
+
+    ``x * POS_ONE`` is an exact power-of-two scale, ``rint`` uses
+    round-half-even in both NumPy and XLA, and the downscale is exact again —
+    so the result is bit-identical everywhere for identical f32 inputs.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    return (jnp.rint(x * jnp.float32(POS_ONE)) * POS_INV_F).astype(jnp.float32)
+
+
+def quantize_f32_np(x):
+    x = np.asarray(x, np.float32)
+    return (np.rint(x * np.float32(POS_ONE)) * POS_INV_F).astype(np.float32)
+
+
+def to_fix(x):
+    """f32 value -> int32 fixed-point (2**-POS_FRAC_BITS units)."""
+    x = jnp.asarray(x, jnp.float32)
+    return jnp.rint(x * jnp.float32(POS_ONE)).astype(jnp.int32)
+
+
+def to_fix_np(x):
+    x = np.asarray(x, np.float32)
+    return np.rint(x * np.float32(POS_ONE)).astype(np.int32)
+
+
+def inc_fix(speed_q, mod_q):
+    """Fixed-point per-sample increment from quantized f32 speed and mod.
+
+    Exactly one f32 rounding (the multiply); the scale and rint are exact, so
+    XLA cannot re-associate its way to a different integer.
+    """
+    r = jnp.asarray(speed_q, jnp.float32) * jnp.asarray(mod_q, jnp.float32)
+    return jnp.rint(r * jnp.float32(POS_ONE)).astype(jnp.int32)
+
+
+def inc_fix_np(speed_q, mod_q):
+    r = np.float32(speed_q) * np.asarray(mod_q, np.float32)
+    return np.rint(r * np.float32(POS_ONE)).astype(np.int32)
+
+
+def fix_to_f32(whole, frac):
+    """Approximate f32 view of a fixed-point position (for *continuous* math
+    only — never for decisions)."""
+    return jnp.asarray(whole, jnp.float32) + jnp.asarray(frac, jnp.float32) * POS_INV_F
+
+
+# ----------------------------------------------------------------------------
+# Position addition / normalization
+# ----------------------------------------------------------------------------
+
+def pos_add(whole, frac, inc):
+    """(whole, frac) += inc  with carry normalization. inc may be negative;
+    arithmetic right-shift implements floor division in both NumPy and XLA."""
+    f = frac + inc
+    carry = f >> POS_FRAC_BITS
+    return whole + carry, f - (carry << POS_FRAC_BITS)
+
+
+def pos_add_np(whole, frac, inc):
+    f = frac + inc
+    carry = f >> POS_FRAC_BITS
+    return whole + carry, f - (carry << POS_FRAC_BITS)
+
+
+# ----------------------------------------------------------------------------
+# Segmented fixed-point prefix sum (Scrubber / Grid Audio phase accumulator)
+# ----------------------------------------------------------------------------
+
+def segmented_pos_cumsum(inc, reset, init_whole=0, init_frac=0):
+    """Inclusive segmented prefix sum of fixed-point increments.
+
+    positions[i] = (init + sum(inc[j] for j in (last reset before i) .. i))
+    where ``reset[i]`` restarts the sum *at* element i (position i contributes
+    its own increment starting from zero).  Runs as a log-depth
+    ``lax.associative_scan`` on int32 triples — the TPU-native replacement for
+    the reference's per-sample Python accumulators.
+
+    Returns (whole[N] int32, frac[N] int32).
+    """
+    inc = jnp.asarray(inc, jnp.int32)
+    reset = jnp.asarray(reset, jnp.bool_)
+    n = inc.shape[0]
+
+    w0 = inc >> POS_FRAC_BITS
+    f0 = inc - (w0 << POS_FRAC_BITS)
+
+    def combine(a, b):
+        aw, af, ar = a
+        bw, bf, br = b
+        f = af + bf
+        carry = f >> POS_FRAC_BITS
+        w = aw + bw + carry
+        f = f - (carry << POS_FRAC_BITS)
+        # segmented: if b starts a new segment, drop a entirely
+        w = jnp.where(br, bw, w)
+        f = jnp.where(br, bf, f)
+        return w, f, ar | br
+
+    w, f, _ = jax.lax.associative_scan(combine, (w0, f0, reset), axis=0)
+    # fold the initial position into segments that never saw a reset
+    seen_reset = jnp.cumsum(reset.astype(jnp.int32)) > 0
+    iw = jnp.where(seen_reset, 0, jnp.int32(init_whole))
+    if_ = jnp.where(seen_reset, 0, jnp.int32(init_frac))
+    f = f + if_
+    carry = f >> POS_FRAC_BITS
+    return w + iw + carry, f - (carry << POS_FRAC_BITS)
+
+
+def segmented_pos_cumsum_np(inc, reset, init_whole=0, init_frac=0):
+    """Sequential NumPy mirror (oracle). Bit-identical to the JAX version."""
+    inc = np.asarray(inc, np.int64)  # headroom; results fit int32 by contract
+    n = inc.shape[0]
+    whole = np.zeros(n, np.int64)
+    frac = np.zeros(n, np.int64)
+    w = int(init_whole)
+    f = int(init_frac)
+    for i in range(n):
+        if reset[i]:
+            w = 0
+            f = 0
+        f += int(inc[i])
+        carry = f >> POS_FRAC_BITS
+        w += carry
+        f -= carry << POS_FRAC_BITS
+        whole[i] = w
+        frac[i] = f
+    return whole.astype(np.int32), frac.astype(np.int32)
+
+
+# ----------------------------------------------------------------------------
+# Fractional gather (linear interpolation, optional wraparound)
+# ----------------------------------------------------------------------------
+
+def gather_linear_wrap(audio, whole, frac):
+    """Wrap-around 2-tap linear interpolated read.
+
+    TPU-native form of Scrubber's ``sample_from_tape_array``
+    (scrubber/scrubber_0.7.py:141-154): positions wrap mod N, two gathers, lerp.
+    """
+    n = audio.shape[0]
+    pw = jnp.mod(whole, n)
+    i1 = jnp.mod(pw + 1, n)
+    fr = frac.astype(jnp.float32) * POS_INV_F
+    s0 = audio[pw]
+    s1 = audio[i1]
+    return (jnp.float32(1.0) - fr) * s0 + fr * s1
+
+
+def gather_linear_wrap_np(audio, whole, frac):
+    n = audio.shape[0]
+    pw = np.mod(whole, n)
+    i1 = np.mod(pw + 1, n)
+    fr = frac.astype(np.float32) * POS_INV_F
+    s0 = audio[pw]
+    s1 = audio[i1]
+    return (np.float32(1.0) - fr) * s0 + fr * s1

@@ -1,0 +1,147 @@
+"""TapeTUC engine vs. NumPy oracle (SURVEY.md §4 test plan: kernel parity
+with fixed seeds, <= -60 dBFS max deviation; property test for the
+duration-preserving retime)."""
+import numpy as np
+import pytest
+
+from audio_suite_tpu.models import tape
+from audio_suite_tpu.utils.metrics import max_dev_dbfs
+from oracles.tape_ref import render_tape_np
+
+
+def make_test_audio(sr=48000, seconds=1.5, seed=7):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    x = (0.5 * np.sin(2 * np.pi * 220 * t)
+         + 0.3 * np.sin(2 * np.pi * 933 * t + 0.5)
+         + 0.1 * rng.standard_normal(t.size))
+    return (x / np.max(np.abs(x))).astype(np.float32)
+
+
+def run_both(params, audio, num_frames):
+    prog = tape.build_tape_program(audio, params, num_frames)
+    ref = render_tape_np(prog)
+    out = tape.render_tape(audio, params, num_frames)
+    return out, ref
+
+
+@pytest.fixture(scope="module")
+def audio():
+    return make_test_audio()
+
+
+def test_plain_playback_parity(audio):
+    params = tape.TapeParams(markers=[], section_speeds=[1.0],
+                             section_reverse=[False])
+    out, ref = run_both(params, audio, 24000)
+    assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_varispeed_sections_parity(audio):
+    n = len(audio)
+    markers = [n // 5, 2 * n // 5, 3 * n // 5, 4 * n // 5]
+    params = tape.TapeParams(
+        markers=markers,
+        section_speeds=[0.25, 4.0, 1.7, 0.5, 2.3],
+        section_reverse=[False, True, False, True, False],
+        tape_age=80,
+    )
+    out, ref = run_both(params, audio, 48000)
+    assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_inertia_parity(audio):
+    n = len(audio)
+    params = tape.TapeParams(
+        markers=[n // 3, 2 * n // 3],
+        section_speeds=[0.5, 3.0, 1.0],
+        section_reverse=[False, False, True],
+        inertia_enabled=True,
+        inertia_amount=70,
+        tape_age=100,
+    )
+    out, ref = run_both(params, audio, 36000)
+    assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_splice_and_anticlick_active(audio):
+    """The boundary FX paths must actually fire in the parity configs."""
+    n = len(audio)
+    markers = [n // 4, n // 2, 3 * n // 4]
+    params = tape.TapeParams(markers=markers,
+                             section_speeds=[1.0, 1.0, 1.0, 1.0],
+                             section_reverse=[False] * 4)
+    out, ref = run_both(params, audio, 48000)
+    assert max_dev_dbfs(out, ref) <= -60.0
+    # anticlick + splice change the output vs. a render with them disabled
+    params_off = tape.TapeParams(markers=markers,
+                                 section_speeds=[1.0, 1.0, 1.0, 1.0],
+                                 section_reverse=[False] * 4,
+                                 enable_splice_fx=False,
+                                 anticlick_enabled=False)
+    out_off = tape.render_tape(audio, params_off, 48000)
+    assert np.max(np.abs(out - out_off)) > 1e-3
+
+
+def test_fit_to_target_time_property(audio):
+    """Retimed speeds reproduce the target duration when unclamped
+    (Tape…py:687-703): sum len_i/(v_i' sr) == target."""
+    n = len(audio)
+    params = tape.TapeParams(markers=[n // 3, 2 * n // 3],
+                             section_speeds=[1.0, 2.0, 0.8],
+                             section_reverse=[False] * 3)
+    target = 2.0
+    new_speeds = tape.fit_to_target_time(params, n, target)
+    starts, ends = tape.sections_from_markers(params.markers, n)
+    total = sum((int(e) - int(s)) / (v * params.sample_rate)
+                for s, e, v in zip(starts, ends, new_speeds))
+    assert abs(total - target) < 1e-3
+    # ratios preserved
+    r0 = params.section_speeds[1] / params.section_speeds[0]
+    r1 = new_speeds[1] / new_speeds[0]
+    assert abs(r0 - r1) < 1e-6
+
+
+def test_fit_to_target_time_clamps(audio):
+    n = len(audio)
+    params = tape.TapeParams(markers=[], section_speeds=[1.0],
+                             section_reverse=[False])
+    speeds = tape.fit_to_target_time(params, n, 0.001)  # absurdly short
+    assert all(0.25 <= v <= 4.0 for v in speeds)
+
+
+def test_detect_beats_finds_clicks():
+    sr = 48000
+    x = np.zeros(sr * 2, np.float32)
+    for k in range(1, 8):
+        p = int(k * 0.25 * sr)
+        x[p:p + 32] = 1.0  # sharp energy onsets every 0.25 s
+    beats = tape.detect_beats(x, sr, sensitivity=50)
+    assert len(beats) >= 4
+    # detected markers land near the click positions (within a few hops —
+    # the 3-tap smoothing + positive-difference shift the peak slightly)
+    for b in beats:
+        assert min(abs(b - int(k * 0.25 * sr)) for k in range(1, 8)) <= 2048
+
+
+def test_undo_stack_roundtrip():
+    p = tape.TapeParams(markers=[100], section_speeds=[1.0, 2.0],
+                        section_reverse=[False, True])
+    undo = tape.UndoStack(depth=3)
+    undo.push(p)
+    p2 = tape.TapeParams(markers=[100, 200], section_speeds=[1.0, 2.0, 0.5],
+                         section_reverse=[False, True, False])
+    undo.push(p2)
+    restored = undo.pop()
+    assert restored.markers == [100, 200]
+    restored = undo.pop()
+    assert restored.markers == [100]
+    assert undo.pop() is None
+
+
+def test_section_render_length(audio):
+    n = len(audio)
+    params = tape.TapeParams(markers=[n // 2], section_speeds=[2.0, 0.5],
+                             section_reverse=[False, False])
+    # half at 2x (n/4 out) + half at 0.5x (n out) = 1.25 n
+    assert abs(tape.section_render_length(params, n) - 1.25 * n) < 2
