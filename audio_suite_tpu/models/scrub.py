@@ -1,0 +1,257 @@
+"""Scrubber engine — gestural tape scrubbing as an offline batch render.
+
+Re-creates scrubber/scrubber_0.7.py as a TPU pipeline.  The realtime
+PortAudio callback (scrubber_0.7.py:157-235) becomes a fully parallel kernel:
+
+    per-block gesture trace -> per-sample speed curve -> position = exclusive
+    prefix sum of increments (fixed point, log-depth associative scan) ->
+    1-3 head fractional gathers -> block dropout gate.
+
+The GUI/mouse layer is replaced by *scripted gesture traces* (block-rate
+arrays), including the GUI-timer friction decay (scrubber_0.7.py:262-286) and
+RMB position jumps (scrubber_0.7.py:314-317) which become segmented-scan
+resets.  All randomness (stretch jitter, dropouts) is drawn host-side with a
+seeded NumPy Generator so the NumPy oracle consumes identical draws.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import fixq
+
+# Config constants (scrubber_0.7.py:35-75)
+DEFAULT_HEAD_OFFSETS = (-2000.0, 0.0, 2000.0)
+HEAD_GAIN = 0.8
+TAPE_FRICTION_PER_FRAME = 0.93
+MOUSE_SPEED_TO_TAPE_SPEED = 70.0
+WOW_FREQ = 0.5
+WOW_DEPTH = 0.006
+FLUTTER_FREQ = 6.0
+FLUTTER_DEPTH = 0.002
+STRETCH_DEPTH = 0.007
+STRETCH_SPEED_SCALE = 25000.0
+DROPOUT_DEPTH = 0.35
+DROPOUT_PROB = 0.008
+DROPOUT_MIN_BLOCKS = 3
+DROPOUT_MAX_BLOCKS = 10
+MAX_TAPE_SPEED = 40_000.0
+FPS = 60.0
+BLOCK_SIZE = 1024
+
+
+@dataclass
+class ScrubConfig:
+    sample_rate: int = 44100
+    head_count: int = 3                       # 1-3 (scrubber_0.7.py:107-118)
+    head_offsets: tuple = DEFAULT_HEAD_OFFSETS  # [left, center, right] samples
+    block_size: int = BLOCK_SIZE
+    seed: int = 1234
+    stretch_jitter: bool = True
+    dropouts: bool = True
+
+    def active_offsets(self) -> list[float]:
+        """Head-count -> offsets mapping (scrubber_0.7.py:107-118)."""
+        left, center, right = self.head_offsets
+        if self.head_count <= 1:
+            return [center]
+        if self.head_count == 2:
+            return [left, right]
+        return [left, center, right]
+
+
+@dataclass
+class GestureTrace:
+    """Block-rate control trace.
+
+    base_speed[b]    : base speed factor in [-1, 1] (keyboard Up/Down/0)
+    gesture_speed[b] : scrub speed in samples/sec (LMB drag)
+    jump[b]          : sample position to jump to at block b start (RMB),
+                       or NaN for no jump
+    """
+    base_speed: np.ndarray
+    gesture_speed: np.ndarray
+    jump: np.ndarray
+
+    @property
+    def num_blocks(self) -> int:
+        return len(self.base_speed)
+
+
+def constant_trace(num_blocks: int, base_speed: float = 0.5,
+                   gesture: float = 0.0) -> GestureTrace:
+    return GestureTrace(
+        base_speed=np.full(num_blocks, base_speed, np.float64),
+        gesture_speed=np.full(num_blocks, gesture, np.float64),
+        jump=np.full(num_blocks, np.nan),
+    )
+
+
+def scripted_gesture_trace(num_blocks: int, sample_rate: int,
+                           block_size: int = BLOCK_SIZE,
+                           drag_events=(), base_speed: float = 0.0,
+                           jumps=()) -> GestureTrace:
+    """Simulate the GUI loop: drags set gesture_speed = dx*70*FPS; friction
+    multiplies by 0.93 per GUI frame when not dragging (scrubber_0.7.py:
+    262-312).  drag_events: list of (start_sec, dx_pixels_per_frame,
+    duration_sec). jumps: list of (sec, target_sample)."""
+    blocks_per_sec = sample_rate / block_size
+    gesture = np.zeros(num_blocks, np.float64)
+    g = 0.0
+    friction_per_block = TAPE_FRICTION_PER_FRAME ** (FPS / blocks_per_sec)
+    for b in range(num_blocks):
+        t = b / blocks_per_sec
+        dragging = False
+        for (t0, dx, dur) in drag_events:
+            if t0 <= t < t0 + dur:
+                g = dx * MOUSE_SPEED_TO_TAPE_SPEED * FPS
+                dragging = True
+        if not dragging:
+            g *= friction_per_block
+        gesture[b] = g
+    jump = np.full(num_blocks, np.nan)
+    for (sec, target) in jumps:
+        b = int(sec * blocks_per_sec)
+        if 0 <= b < num_blocks:
+            jump[b] = float(target)
+    return GestureTrace(
+        base_speed=np.full(num_blocks, base_speed, np.float64),
+        gesture_speed=gesture, jump=jump)
+
+
+def build_scrub_program(audio: np.ndarray, cfg: ScrubConfig,
+                        trace: GestureTrace, tape_pos0: float = 0.0) -> dict:
+    """Expand the block-rate trace into per-sample quantized increments and
+    per-block dropout gains (host, seeded NumPy RNG — shared with oracle)."""
+    audio = np.asarray(audio, np.float32)
+    n = len(audio)
+    sr = float(cfg.sample_rate)
+    bs = int(cfg.block_size)
+    nb = trace.num_blocks
+    T = nb * bs
+    rng = np.random.default_rng(cfg.seed)
+
+    # --- per-block total speed, clamped (scrubber_0.7.py:171-176) ---
+    total = trace.base_speed * sr + trace.gesture_speed
+    total = np.clip(total, -MAX_TAPE_SPEED, MAX_TAPE_SPEED)
+    base_inc = total / sr                              # samples per out sample
+
+    # --- per-sample speed factor: wow/flutter LFOs (scrubber_0.7.py:182-194)
+    i = np.arange(T, dtype=np.float64)
+    t = i / sr
+    speed_factor = (1.0 + WOW_DEPTH * np.sin(2 * np.pi * WOW_FREQ * t)
+                    + FLUTTER_DEPTH * np.sin(2 * np.pi * FLUTTER_FREQ * t))
+    speed_factor = speed_factor.reshape(nb, bs)
+
+    env = np.ones(nb, np.float32)
+    dropout_active = False
+    dropout_blocks_left = 0
+    for b in range(nb):
+        # stretch jitter drawn per block when moving (order matches
+        # scrubber_0.7.py:191-194)
+        if cfg.stretch_jitter and abs(total[b]) > 1.0 and STRETCH_DEPTH > 0.0:
+            js = STRETCH_DEPTH * np.tanh(abs(total[b]) / STRETCH_SPEED_SCALE)
+            noise = js * rng.standard_normal(bs)
+            speed_factor[b] *= (1.0 + noise)
+        # block dropout state machine (scrubber_0.7.py:212-225)
+        if cfg.dropouts:
+            if dropout_active:
+                env[b] = 1.0 - DROPOUT_DEPTH
+                dropout_blocks_left -= 1
+                if dropout_blocks_left <= 0:
+                    dropout_active = False
+            else:
+                env[b] = 1.0
+                if rng.random() < DROPOUT_PROB:
+                    dropout_active = True
+                    dropout_blocks_left = int(rng.integers(
+                        DROPOUT_MIN_BLOCKS, DROPOUT_MAX_BLOCKS + 1))
+                    env[b] = 1.0 - DROPOUT_DEPTH
+
+    increments = (base_inc[:, None] * speed_factor).reshape(T)
+    inc_fix = fixq.to_fix_np(np.asarray(increments, np.float32))
+
+    # --- jumps -> segmented-scan resets ---
+    reset = np.zeros(T, np.bool_)
+    w0, f0 = fixq.split_pos_np(tape_pos0)
+    seg_bases_w = [w0]
+    seg_bases_f = [f0]
+    for b in range(nb):
+        if np.isfinite(trace.jump[b]):
+            reset[b * bs] = True
+            jw, jf = fixq.split_pos_np(trace.jump[b])
+            seg_bases_w.append(jw)
+            seg_bases_f.append(jf)
+
+    offsets = cfg.active_offsets()
+    head_off = np.asarray([fixq.split_pos_np(o) for o in offsets], np.int32)
+    head_off_whole = head_off[:, 0].astype(np.int32)
+    head_off_frac = head_off[:, 1].astype(np.int32)
+
+    return {
+        "audio": audio,
+        "inc_fix": inc_fix,
+        "reset": reset,
+        "seg_bases_whole": np.asarray(seg_bases_w, np.int32),
+        "seg_bases_frac": np.asarray(seg_bases_f, np.int32),
+        "env_blocks": env,
+        "head_off_whole": head_off_whole,
+        "head_off_frac": head_off_frac,
+        "head_gain": np.float32(HEAD_GAIN / max(1, len(offsets))),
+        "block_size": bs,
+        "num_frames": T,
+    }
+
+
+@partial(jax.jit, static_argnames=("block_size",))
+def scrub_render_kernel(audio, inc_fix, reset, seg_bases_whole, seg_bases_frac,
+                        env_blocks, head_off_whole, head_off_frac, head_gain,
+                        block_size: int):
+    """Fully parallel scrub render: segmented fixed-point prefix sum (exclusive)
+    -> per-head wrap-around fractional gather -> dropout gain."""
+    T = inc_fix.shape[0]
+    # exclusive prefix: position at sample i excludes its own increment
+    inc_shift = jnp.concatenate([jnp.zeros(1, jnp.int32), inc_fix[:-1]])
+    # don't carry the pre-jump increment across a jump boundary
+    inc_shift = jnp.where(reset, 0, inc_shift)
+    whole, frac = fixq.segmented_pos_cumsum(inc_shift, reset)
+    # add each segment's base position
+    seg_id = jnp.cumsum(reset.astype(jnp.int32))
+    bw = seg_bases_whole[seg_id]
+    bf = seg_bases_frac[seg_id]
+    f = frac + bf
+    carry = f >> fixq.POS_FRAC_BITS
+    whole = whole + bw + carry
+    frac = f - (carry << fixq.POS_FRAC_BITS)
+
+    buf = jnp.zeros(T, jnp.float32)
+    for h in range(head_off_whole.shape[0]):
+        f2 = frac + head_off_frac[h]
+        c2 = f2 >> fixq.POS_FRAC_BITS
+        w2 = whole + head_off_whole[h] + c2
+        f2 = f2 - (c2 << fixq.POS_FRAC_BITS)
+        buf = buf + fixq.gather_linear_wrap(audio, w2, f2)
+    buf = buf * head_gain
+
+    env = jnp.repeat(env_blocks, block_size)
+    return buf * env
+
+
+def render_scrub(audio: np.ndarray, cfg: ScrubConfig, trace: GestureTrace,
+                 tape_pos0: float = 0.0, stereo: bool = False) -> np.ndarray:
+    prog = build_scrub_program(audio, cfg, trace, tape_pos0)
+    out = scrub_render_kernel(
+        jnp.asarray(prog["audio"]), jnp.asarray(prog["inc_fix"]),
+        jnp.asarray(prog["reset"]), jnp.asarray(prog["seg_bases_whole"]),
+        jnp.asarray(prog["seg_bases_frac"]), jnp.asarray(prog["env_blocks"]),
+        jnp.asarray(prog["head_off_whole"]), jnp.asarray(prog["head_off_frac"]),
+        jnp.float32(prog["head_gain"]), prog["block_size"],
+    )
+    out = np.asarray(out)
+    if stereo:
+        return np.column_stack([out, out])  # scrubber_0.7.py:233-234
+    return out

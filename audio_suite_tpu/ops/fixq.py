@@ -91,6 +91,20 @@ def inc_fix_np(speed_q, mod_q):
     return np.rint(r * np.float32(POS_ONE)).astype(np.int32)
 
 
+def split_pos_np(v) -> tuple[int, int]:
+    """Split an absolute position (float, any magnitude up to 2**31 samples)
+    into an exact (whole:int, frac:int) pair.  Use this — never ``to_fix`` —
+    for large values like jump targets or head offsets: value * POS_ONE
+    overflows int32 beyond ~512 samples."""
+    v = float(v)
+    w = int(np.floor(v))
+    f = int(np.rint((v - w) * POS_ONE))
+    if f >= POS_ONE:
+        w += 1
+        f -= POS_ONE
+    return w, f
+
+
 def fix_to_f32(whole, frac):
     """Approximate f32 view of a fixed-point position (for *continuous* math
     only — never for decisions)."""

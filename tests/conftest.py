@@ -7,7 +7,9 @@ cluster' strategy). Must run before jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the environment presets JAX_PLATFORMS=axon (TPU tunnel), which
+# has multi-minute first compiles and crashes on very long scans.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

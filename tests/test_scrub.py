@@ -1,0 +1,109 @@
+"""Scrubber engine vs. NumPy oracle."""
+import numpy as np
+import pytest
+
+from audio_suite_tpu.models import scrub
+from audio_suite_tpu.models.scrub import ScrubConfig, GestureTrace
+from audio_suite_tpu.utils.metrics import max_dev_dbfs
+from oracles.scrub_ref import render_scrub_np
+
+
+@pytest.fixture(scope="module")
+def audio():
+    sr = 44100
+    rng = np.random.default_rng(3)
+    t = np.arange(sr * 2) / sr
+    x = 0.6 * np.sin(2 * np.pi * 330 * t) + 0.2 * rng.standard_normal(t.size)
+    return (x / np.max(np.abs(x))).astype(np.float32)
+
+
+def run_both(audio, cfg, trace, pos0=0.0):
+    prog = scrub.build_scrub_program(audio, cfg, trace, pos0)
+    ref = render_scrub_np(prog)
+    out = scrub.render_scrub(audio, cfg, trace, pos0)
+    return out, ref
+
+
+def test_forward_play_parity(audio):
+    cfg = ScrubConfig(sample_rate=44100, seed=11)
+    trace = scrub.constant_trace(40, base_speed=1.0)
+    out, ref = run_both(audio, cfg, trace)
+    assert max_dev_dbfs(out, ref) <= -60.0
+    assert np.max(np.abs(out)) > 0.1
+
+
+def test_reverse_and_gesture_parity(audio):
+    cfg = ScrubConfig(sample_rate=44100, seed=5, head_count=2)
+    trace = scrub.scripted_gesture_trace(
+        60, 44100, drag_events=[(0.2, 4.0, 0.3), (0.8, -6.0, 0.2)],
+        base_speed=-0.5, jumps=[(0.7, 20000.0)])
+    out, ref = run_both(audio, cfg, trace, pos0=30000.0)
+    assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_single_head(audio):
+    cfg = ScrubConfig(sample_rate=44100, seed=8, head_count=1)
+    trace = scrub.constant_trace(20, base_speed=0.25)
+    out, ref = run_both(audio, cfg, trace)
+    assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_dropouts_gate_blocks(audio):
+    """With a seed that triggers dropouts, some blocks are attenuated by
+    exactly 1-0.35 relative to a no-dropout render."""
+    cfg = ScrubConfig(sample_rate=44100, seed=0, dropouts=True,
+                      stretch_jitter=False)
+    cfg_off = ScrubConfig(sample_rate=44100, seed=0, dropouts=False,
+                          stretch_jitter=False)
+    nb = 400
+    trace = scrub.constant_trace(nb, base_speed=1.0)
+    prog = scrub.build_scrub_program(audio, cfg, trace)
+    env = prog["env_blocks"]
+    assert np.any(env < 1.0), "seed should trigger at least one dropout"
+    out_on = scrub.render_scrub(audio, cfg, trace)
+    out_off = scrub.render_scrub(audio, cfg_off, trace)
+    b = int(np.argmax(env < 1.0))
+    sl = slice(b * cfg.block_size, (b + 1) * cfg.block_size)
+    ratio = out_on[sl] / np.where(np.abs(out_off[sl]) < 1e-9, 1, out_off[sl])
+    mask = np.abs(out_off[sl]) > 1e-3
+    assert np.allclose(ratio[mask], 1.0 - scrub.DROPOUT_DEPTH, atol=1e-5)
+
+
+def test_speed_clamp():
+    """Gesture speeds beyond MAX_TAPE_SPEED are clamped
+    (scrubber_0.7.py:175-176)."""
+    cfg = ScrubConfig(sample_rate=44100, seed=1, stretch_jitter=False,
+                      dropouts=False)
+    trace = scrub.constant_trace(4, base_speed=1.0, gesture=1e9)
+    audio = np.sin(np.linspace(0, 100, 44100)).astype(np.float32)
+    prog = scrub.build_scrub_program(audio, cfg, trace)
+    max_inc = np.max(np.abs(prog["inc_fix"])) / scrub.fixq.POS_ONE
+    assert max_inc <= (scrub.MAX_TAPE_SPEED / 44100) * 1.01
+
+
+def test_head_offset_semantics():
+    """A head at offset +2000 must actually read 2000 samples ahead —
+    regression for int32 overflow when packing large offsets."""
+    sr = 44100
+    audio = np.zeros(sr, np.float32)
+    audio[10000] = 1.0
+    cfg = ScrubConfig(sample_rate=sr, seed=1, head_count=1,
+                      head_offsets=(0.0, 2000.0, 0.0),
+                      stretch_jitter=False, dropouts=False)
+    trace = scrub.constant_trace(30, base_speed=0.5)
+    out = scrub.render_scrub(audio, cfg, trace, tape_pos0=0.0)
+    # head reads pos+2000: impulse at 10000 is hit when pos = 8000, i.e. at
+    # output sample ~8000 / inc where inc = 0.5 (sub-MAX speed, no clamping)
+    peak = int(np.argmax(np.abs(out)))
+    assert abs(peak - 16000) < 300  # wow/flutter detunes by up to ~0.8%
+
+
+def test_friction_decay():
+    """Gesture speed decays by ~0.93 per GUI frame when not dragging
+    (scrubber_0.7.py:270-271)."""
+    trace = scrub.scripted_gesture_trace(
+        200, 44100, drag_events=[(0.0, 5.0, 0.1)], base_speed=0.0)
+    g = trace.gesture_speed
+    peak = np.max(np.abs(g))
+    assert peak > 0
+    assert abs(g[-1]) < peak * 0.01  # decayed to ~nothing
