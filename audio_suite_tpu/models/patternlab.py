@@ -1,0 +1,512 @@
+"""Pattern Lab engine — algorithmic patterns through a vmapped FM+PSG bank.
+
+Re-creates `pattern lab 0.1/` on TPU:
+
+- pattern generators (host, emit NoteEvents): Glass Cells, Fibonacci Gate,
+  Prime Phase, Pythagorean Canon, Python Script (app/patterns.py)
+- MegaDriveInspiredSynth channel presets (app/renderer.py:45-71)
+- renderer: notes are length-bucketed into static shapes, each bucket renders
+  through a vmapped voice kernel (ops/synth.py), and results scatter-add into
+  the output — replacing the reference's sequential per-note Python loop
+  (app/renderer.py:79-132)
+- preset I/O {name, generator, cfg, gen} (app/preset_io.py)
+
+Known reference quirk handled here: the UI passes kwargs the builtin
+generators don't accept (ui_main.py:414-428 vs patterns.py:64,116 —
+`pulse_every`, `base_step`, `prime_a/b` raise TypeError in the reference).
+Our generators accept and ignore unknown kwargs instead of crashing.
+"""
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..events.notes import NoteEvent, RenderConfig, apply_time_ops, prepare_note_batch
+from ..ops import synth as synth_ops
+from ..utils import music
+
+YM2612_DAC_BITS = 14     # app/constants.py
+POST_LP_HZ = 12000.0
+
+SCALES = {
+    'major': [0, 2, 4, 5, 7, 9, 11],
+    'minor': [0, 2, 3, 5, 7, 8, 10],
+    'dorian': [0, 2, 3, 5, 7, 9, 10],
+    'phrygian': [0, 1, 3, 5, 7, 8, 10],
+    'glass': [0, 2, 5, 7, 9],
+}
+
+
+# ----------------------------------------------------------------------------
+# Channel presets (app/renderer.py:45-71, app/synth_fm.py:38-60,
+# app/synth_psg.py:36-45)
+# ----------------------------------------------------------------------------
+
+@dataclass
+class OpParams:
+    ratio: float = 1.0
+    detune_cents: float = 0.0
+    level: float = 1.0
+    index: float = 1.0
+    a: float = 0.01
+    d: float = 0.2
+    s: float = 0.6
+    r: float = 0.2
+
+
+@dataclass
+class FMVoiceParams:
+    algorithm: int = 1
+    feedback: float = 0.0
+    lfo_hz: float = 5.0
+    lfo_depth: float = 0.0
+    ops: tuple = (
+        OpParams(ratio=1.0, level=0.9, index=0.0, a=0.01, d=0.3, s=0.7, r=0.15),
+        OpParams(ratio=2.0, level=0.7, index=2.0, a=0.01, d=0.25, s=0.5, r=0.15),
+        OpParams(ratio=3.0, level=0.6, index=2.0, a=0.01, d=0.2, s=0.4, r=0.15),
+        OpParams(ratio=1.0, level=0.5, index=2.0, a=0.005, d=0.15, s=0.35, r=0.2),
+    )
+
+
+@dataclass
+class PSGParams:
+    noise: bool = False
+    duty: float = 0.5
+    a: float = 0.001
+    d: float = 0.1
+    s: float = 0.6
+    r: float = 0.1
+    bits: int = 12
+
+
+def default_fm_channels() -> list[FMVoiceParams]:
+    return [
+        FMVoiceParams(algorithm=1, feedback=0.12, lfo_hz=5.0, lfo_depth=0.0),
+        FMVoiceParams(algorithm=2, feedback=0.05, lfo_hz=6.0, lfo_depth=0.1),
+        FMVoiceParams(algorithm=1, feedback=0.18, lfo_hz=4.5, lfo_depth=0.0),
+        FMVoiceParams(algorithm=3, feedback=0.0, lfo_hz=5.0, lfo_depth=0.0,
+                      ops=(
+                          OpParams(ratio=1.0, level=0.8, index=0.0, a=0.01, d=0.2, s=0.8, r=0.2),
+                          OpParams(ratio=2.0, level=0.45, index=0.0, a=0.01, d=0.2, s=0.8, r=0.2),
+                          OpParams(ratio=4.0, level=0.25, index=0.0, a=0.01, d=0.2, s=0.8, r=0.2),
+                          OpParams(ratio=8.0, level=0.15, index=0.0, a=0.01, d=0.2, s=0.8, r=0.2),
+                      )),
+        FMVoiceParams(algorithm=2, feedback=0.2, lfo_hz=7.0, lfo_depth=0.0),
+        FMVoiceParams(algorithm=1, feedback=0.0, lfo_hz=5.0, lfo_depth=0.0,
+                      ops=(
+                          OpParams(ratio=0.5, level=1.0, index=0.0, a=0.01, d=0.35, s=0.65, r=0.2),
+                          OpParams(ratio=1.0, level=0.8, index=2.5, a=0.01, d=0.2, s=0.45, r=0.18),
+                          OpParams(ratio=2.0, level=0.7, index=2.2, a=0.005, d=0.15, s=0.35, r=0.18),
+                          OpParams(ratio=3.0, level=0.6, index=1.7, a=0.003, d=0.12, s=0.25, r=0.22),
+                      )),
+    ]
+
+
+def default_psg_channels() -> list[PSGParams]:
+    return [
+        PSGParams(noise=False, duty=0.5, a=0.001, d=0.08, s=0.5, r=0.08, bits=10),
+        PSGParams(noise=False, duty=0.25, a=0.001, d=0.12, s=0.45, r=0.12, bits=10),
+        PSGParams(noise=False, duty=0.75, a=0.001, d=0.1, s=0.35, r=0.1, bits=10),
+        PSGParams(noise=True, duty=0.5, a=0.001, d=0.05, s=0.0, r=0.05, bits=8),
+    ]
+
+
+def _fm_channel_tables(channels: list[FMVoiceParams], sr: int) -> dict:
+    """Per-channel arrays with the reference's stage minimums pre-applied
+    (synth_fm.py:64-68: a>=0.004, d>=1e-4, r>=0.008)."""
+    C = len(channels)
+    tab = {
+        "level": np.zeros((C, 4), np.float32),
+        "index_cyc": np.zeros((C, 4), np.float32),   # mod index / 2*pi
+        "A": np.zeros((C, 4), np.int32),
+        "D": np.zeros((C, 4), np.int32),
+        "R": np.zeros((C, 4), np.int32),
+        "s": np.zeros((C, 4), np.float32),
+        "algorithm": np.zeros(C, np.int32),
+        "feedback": np.zeros(C, np.float32),
+        "lfo_hz": np.zeros(C, np.float32),
+        "lfo_depth": np.zeros(C, np.float32),
+        # host-only f64 factors for per-note op frequency computation
+        "_ratio64": np.zeros((C, 4), np.float64),
+        "_det64": np.zeros((C, 4), np.float64),
+    }
+    for c, p in enumerate(channels):
+        tab["algorithm"][c] = p.algorithm
+        tab["feedback"][c] = p.feedback
+        tab["lfo_hz"][c] = p.lfo_hz
+        tab["lfo_depth"][c] = p.lfo_depth
+        for k, op in enumerate(p.ops):
+            tab["_ratio64"][c, k] = op.ratio
+            tab["_det64"][c, k] = 2.0 ** (op.detune_cents / 1200.0)
+            tab["level"][c, k] = op.level
+            tab["index_cyc"][c, k] = np.float32(op.index / (2.0 * np.pi))
+            tab["A"][c, k] = int(sr * max(0.004, float(op.a)))
+            tab["D"][c, k] = int(sr * max(1e-4, float(op.d)))
+            tab["R"][c, k] = int(sr * max(0.008, float(op.r)))
+            tab["s"][c, k] = op.s
+    return tab
+
+
+def fm_op_freqs(tab: dict, chans: np.ndarray, midis: np.ndarray) -> np.ndarray:
+    """Per-note per-op frequencies in Hz, f32 (single f64->f32 cast)."""
+    base = np.asarray([music.midi_to_hz(m) for m in midis], np.float64)
+    return (base[:, None] * tab["_ratio64"][chans]
+            * tab["_det64"][chans]).astype(np.float32)
+
+
+def _psg_channel_tables(channels: list[PSGParams], sr: int) -> dict:
+    """synth_psg.py:52-55: a>=0.003, d>=1e-4, r>=0.006."""
+    C = len(channels)
+    tab = {
+        "noise": np.zeros(C, np.bool_),
+        "duty": np.zeros(C, np.float32),
+        "A": np.zeros(C, np.int32),
+        "D": np.zeros(C, np.int32),
+        "R": np.zeros(C, np.int32),
+        "s": np.zeros(C, np.float32),
+        "levels_m1": np.zeros(C, np.float32),
+    }
+    for c, p in enumerate(channels):
+        tab["noise"][c] = p.noise
+        tab["duty"][c] = float(np.clip(p.duty, 0.05, 0.95))
+        tab["A"][c] = int(sr * max(0.003, float(p.a)))
+        tab["D"][c] = int(sr * max(1e-4, float(p.d)))
+        tab["R"][c] = int(sr * max(0.006, float(p.r)))
+        tab["s"][c] = p.s
+        tab["levels_m1"][c] = float(2 ** (int(p.bits) - 1) - 1)
+    return tab
+
+
+# ----------------------------------------------------------------------------
+# Pattern generators (app/patterns.py) — host, emit events
+# ----------------------------------------------------------------------------
+
+def _rng(seed: int):
+    return np.random.default_rng(int(seed) & 0xFFFFFFFF)
+
+
+def _beat_to_sec(bpm: float, beats: float) -> float:
+    return float(beats) * 60.0 / float(bpm)
+
+
+def pattern_glass_cells(cfg: RenderConfig, root_midi: int = 60,
+                        scale: str = 'glass', cell_len: int = 8,
+                        voices: int = 2, drift: float = 0.0,
+                        **_ignored) -> list[NoteEvent]:
+    """app/patterns.py:26-61"""
+    rng = _rng(cfg.seed)
+    sc = SCALES.get(scale, SCALES['glass'])
+    degrees = [0, 1, 2, 3, 2, 1, 4, 3]
+    degrees = (degrees * ((cell_len + len(degrees) - 1) // len(degrees)))[:cell_len]
+
+    events: list[NoteEvent] = []
+    beat = 0.0
+    bar_beats = 4.0
+    step_beats = bar_beats / cell_len
+    total_bars = int(max(1, cfg.seconds / _beat_to_sec(cfg.bpm, bar_beats)))
+    grow = list(range(2, cell_len + 1)) + list(range(cell_len - 1, 1, -1))
+
+    for b in range(total_bars):
+        k = grow[b % len(grow)]
+        for v in range(voices):
+            chan = v % 6
+            for i in range(k):
+                deg = degrees[i]
+                semis = sc[deg % len(sc)] + 12 * (deg // len(sc))
+                midi = root_midi + semis + (v * 12)
+                midi += drift * float(rng.normal(0, 0.02))
+                t0 = _beat_to_sec(cfg.bpm, beat + i * step_beats)
+                events.append(NoteEvent(t0=t0,
+                                        dur=_beat_to_sec(cfg.bpm, step_beats * 0.95),
+                                        midi=midi,
+                                        vel=0.9 if (i % 4 == 0) else 0.65,
+                                        chan=chan, engine='FM'))
+        beat += bar_beats
+    return events
+
+
+def pattern_fibonacci(cfg: RenderConfig, root_midi: int = 57,
+                      scale: str = 'minor', steps: int = 64,
+                      pulses: int = 13, **_ignored) -> list[NoteEvent]:
+    """app/patterns.py:64-113"""
+    rng = _rng(cfg.seed)
+    sc = SCALES.get(scale, SCALES['minor'])
+    fib = music.fibonacci(max(16, steps // 2))
+    gate = music.euclidean_rhythm(steps, pulses,
+                                  rotate=int(rng.integers(0, steps)))
+
+    events: list[NoteEvent] = []
+    beat = 0.0
+    base_step = 0.25
+    for i in range(steps):
+        dur_mul = 1.0 + (fib[i % len(fib)] % 5) * 0.25
+        if gate[i] == 1:
+            deg = fib[i % len(fib)] % len(sc)
+            octv = (fib[(i + 3) % len(fib)] % 3)
+            midi = root_midi + sc[deg] + 12 * octv
+            chan = int(i % 6)
+            vel = 0.7 + 0.25 * float((i % 8) == 0)
+            events.append(NoteEvent(
+                t0=_beat_to_sec(cfg.bpm, beat),
+                dur=_beat_to_sec(cfg.bpm, base_step * dur_mul * 0.92),
+                midi=midi, vel=vel, chan=chan, engine='FM'))
+        beat += base_step
+        if _beat_to_sec(cfg.bpm, beat) > cfg.seconds:
+            break
+
+    primes = set(music.primes_upto(steps * 2))
+    beat = 0.0
+    for i in range(steps):
+        if i in primes and (i % 2 == 1):
+            events.append(NoteEvent(
+                t0=_beat_to_sec(cfg.bpm, beat),
+                dur=_beat_to_sec(cfg.bpm, base_step * 0.35),
+                midi=48, vel=0.5, chan=0, engine='PSG'))
+        beat += base_step
+        if _beat_to_sec(cfg.bpm, beat) > cfg.seconds:
+            break
+    return events
+
+
+def pattern_prime_phase(cfg: RenderConfig, root_midi: int = 60,
+                        scale: str = 'dorian', **_ignored) -> list[NoteEvent]:
+    """app/patterns.py:116-147"""
+    sc = SCALES.get(scale, SCALES['dorian'])
+    primes = music.primes_upto(50)
+    p1, p2 = primes[8], primes[10]
+
+    events: list[NoteEvent] = []
+    base_step = 0.25
+    beat = 0.0
+    for i in range(int(cfg.seconds / _beat_to_sec(cfg.bpm, base_step)) + 1):
+        deg_a = (i % p1) % len(sc)
+        midi_a = root_midi + sc[deg_a] + 12 * ((i % p1) // len(sc))
+        events.append(NoteEvent(_beat_to_sec(cfg.bpm, beat),
+                                _beat_to_sec(cfg.bpm, base_step * 0.9), midi_a,
+                                vel=0.75, chan=0, engine='FM'))
+        deg_b = (i % p2) % len(sc)
+        midi_b = root_midi + 12 + sc[deg_b] + 12 * ((i % p2) // len(sc))
+        events.append(NoteEvent(_beat_to_sec(cfg.bpm, beat + base_step * 0.5),
+                                _beat_to_sec(cfg.bpm, base_step * 0.9), midi_b,
+                                vel=0.65, chan=1, engine='FM'))
+        if i % 3 == 0:
+            events.append(NoteEvent(_beat_to_sec(cfg.bpm, beat),
+                                    _beat_to_sec(cfg.bpm, base_step * 0.2), 60,
+                                    vel=0.35, chan=0, engine='PSG'))
+        beat += base_step
+        if _beat_to_sec(cfg.bpm, beat) > cfg.seconds:
+            break
+    return events
+
+
+def pattern_pythagorean(cfg: RenderConfig, base_midi: int = 52,
+                        fifth_steps=None, **_ignored) -> list[NoteEvent]:
+    """app/patterns.py:150-181"""
+    if fifth_steps is None:
+        fifth_steps = [0, 1, 2, 3, 2, 1, 4, 5, 4, 3, 2, 1]
+
+    events: list[NoteEvent] = []
+    base_step = 0.5
+    beat = 0.0
+    for i in range(int(cfg.seconds / _beat_to_sec(cfg.bpm, base_step)) + 1):
+        st = fifth_steps[i % len(fifth_steps)]
+        ratio = music.pythagorean_ratio(st)
+        midi_off = 12.0 * np.log2(ratio)
+        for v in range(3):
+            t0 = _beat_to_sec(cfg.bpm, beat + v * base_step * 2.0)
+            midi = base_midi + midi_off + 12 * v
+            events.append(NoteEvent(t0, _beat_to_sec(cfg.bpm, base_step * 1.8),
+                                    float(midi), vel=0.55, chan=v, engine='FM'))
+        if i % 4 == 0:
+            events.append(NoteEvent(_beat_to_sec(cfg.bpm, beat),
+                                    _beat_to_sec(cfg.bpm, base_step * 0.95),
+                                    base_midi - 12, vel=0.5, chan=1,
+                                    engine='PSG'))
+        beat += base_step
+        if _beat_to_sec(cfg.bpm, beat) > cfg.seconds:
+            break
+    return events
+
+
+def list_generators() -> list[str]:
+    return ['Glass Cells', 'Fibonacci Gate', 'Prime Phase',
+            'Pythagorean Canon', 'Python Script']
+
+
+def generate(name: str, cfg: RenderConfig, **kwargs) -> list[NoteEvent]:
+    """Dispatch by (fuzzy) name (app/patterns.py:188-214)."""
+    name = (name or '').strip().lower()
+    if 'python' in name:
+        from ..plugins.host import load_script_generator
+        script_path = kwargs.pop('script_path', '')
+        entry = kwargs.pop('entry', 'generate')
+        if not script_path:
+            raise ValueError("Python Script generator requires gen.script_path")
+        fn = load_script_generator(Path(script_path), entry)
+        return fn(cfg=cfg, **kwargs)
+    if 'glass' in name:
+        return pattern_glass_cells(cfg, **kwargs)
+    if 'fibonacci' in name:
+        return pattern_fibonacci(cfg, **kwargs)
+    if 'prime' in name:
+        return pattern_prime_phase(cfg, **kwargs)
+    if 'pythag' in name:
+        return pattern_pythagorean(cfg, **kwargs)
+    return pattern_glass_cells(cfg)
+
+
+# ----------------------------------------------------------------------------
+# Renderer: bucketed vmapped voice bank
+# ----------------------------------------------------------------------------
+
+def _bucket_len(n: int, min_len: int = 256) -> int:
+    L = min_len
+    while L < n:
+        L *= 2
+    return L
+
+
+class MegaDriveInspiredSynth:
+    """Vmapped TPU port of app/renderer.py:34-132."""
+
+    def __init__(self, sr: int, seed: int = 1,
+                 fm_channels=None, psg_channels=None):
+        self.sr = int(sr)
+        self.seed = int(seed)
+        self.fm_channels = fm_channels or default_fm_channels()
+        self.psg_channels = psg_channels or default_psg_channels()
+        self._fm_tab = _fm_channel_tables(self.fm_channels, self.sr)
+        self._psg_tab = _psg_channel_tables(self.psg_channels, self.sr)
+        self._fade = int(round(self.sr * 0.012))
+        self._lp1 = float(np.exp(-2.0 * np.pi * POST_LP_HZ / self.sr))
+        self._lp2 = float(np.exp(-2.0 * np.pi * 14000.0 / self.sr))
+        self._psg_lp = float(np.exp(-2.0 * np.pi * 12000.0 / self.sr))
+        self._dac_m1 = float(2 ** (YM2612_DAC_BITS - 1) - 1)
+
+    def set_fm_channel(self, i: int, params: FMVoiceParams):
+        self.fm_channels[int(i) % 6] = params
+        self._fm_tab = _fm_channel_tables(self.fm_channels, self.sr)
+
+    def set_psg_channel(self, i: int, params: PSGParams):
+        self.psg_channels[int(i) % 4] = params
+        self._psg_tab = _psg_channel_tables(self.psg_channels, self.sr)
+
+    def render(self, events, seconds: float, master_gain: float = 0.9) -> np.ndarray:
+        cfg = RenderConfig(sample_rate=self.sr, seconds=seconds, seed=self.seed)
+        batch = prepare_note_batch(events, cfg)
+        n_total = batch["n_total"]
+        out = jnp.zeros(n_total, jnp.float32)
+        if batch["count"] == 0:
+            y = np.tanh(np.asarray(out)) * np.float32(master_gain)
+            return y.astype(np.float32)
+
+        orbit, base, pos, clen = synth_ops.lfsr_tables()
+        orbit_j = jnp.asarray(orbit)
+        base_j = jnp.asarray(base)
+        pos_j = jnp.asarray(pos)
+        clen_j = jnp.asarray(clen)
+
+        for is_psg in (False, True):
+            sel = np.nonzero(batch["is_psg"] == is_psg)[0]
+            if sel.size == 0:
+                continue
+            ns = batch["n"][sel]
+            for L in sorted(set(_bucket_len(int(x)) for x in ns)):
+                m = sel[(ns <= L) & (ns > L // 2)] if L > 256 else \
+                    sel[ns <= 256]
+                if m.size == 0:
+                    continue
+                i_vec = jnp.arange(L, dtype=jnp.int32)
+                n_b = jnp.asarray(batch["n"][m])
+                vel_b = jnp.asarray(batch["vel"][m])
+                chan_b = batch["chan"][m]
+                hz_b = jnp.asarray(np.asarray(
+                    [music.midi_to_hz(x) for x in batch["midi"][m]], np.float32))
+                if is_psg:
+                    tab = self._psg_tab
+                    seeds = jnp.asarray(
+                        (self.seed + batch["k"][m]).astype(np.int32))
+                    f = jax.vmap(
+                        lambda n, hz, vel, duty, noi, A, D, R, s, lm1, sd:
+                        synth_ops.psg_note(
+                            i_vec, n, hz, vel, duty, noi, A, D, R, s, lm1,
+                            self._fade, jnp.float32(self._psg_lp), sd,
+                            orbit_j, base_j, pos_j, clen_j, self.sr))
+                    notes = f(n_b, hz_b, vel_b,
+                              jnp.asarray(tab["duty"][chan_b]),
+                              jnp.asarray(tab["noise"][chan_b]),
+                              jnp.asarray(tab["A"][chan_b]),
+                              jnp.asarray(tab["D"][chan_b]),
+                              jnp.asarray(tab["R"][chan_b]),
+                              jnp.asarray(tab["s"][chan_b]),
+                              jnp.asarray(tab["levels_m1"][chan_b]), seeds)
+                else:
+                    tab = self._fm_tab
+                    cp = {k: jnp.asarray(tab[k][chan_b]) for k in tab
+                          if not k.startswith("_")}
+                    f_ops = jnp.asarray(fm_op_freqs(tab, chan_b,
+                                                    batch["midi"][m]))
+                    f = jax.vmap(
+                        lambda n, fo, vel, cpn:
+                        synth_ops.fm_note(
+                            i_vec, n, fo, vel, cpn, self._fade,
+                            jnp.float32(self._lp1), jnp.float32(self._lp2),
+                            jnp.float32(self._dac_m1), self.sr))
+                    notes = f(n_b, f_ops, vel_b, cp)
+
+                # overlap-add with tail clamp (app/renderer.py:113-131)
+                starts = jnp.asarray(batch["start"][m])
+                seg = jnp.minimum(n_b, n_total - starts)
+                idx = starts[:, None] + i_vec[None, :]
+                contrib = jnp.where(i_vec[None, :] < seg[:, None], notes, 0.0)
+                out = out.at[idx.reshape(-1)].add(
+                    contrib.reshape(-1), mode="drop")
+
+        y = jnp.tanh(out) * jnp.float32(master_gain)
+        return np.asarray(y, np.float32)
+
+
+def render(events, cfg: RenderConfig,
+           fm_channels=None, psg_channels=None):
+    """app/renderer.py:135-139: time-ops -> synth -> (audio, events)."""
+    ev = apply_time_ops(events, cfg)
+    s = MegaDriveInspiredSynth(cfg.sample_rate, seed=cfg.seed,
+                               fm_channels=fm_channels,
+                               psg_channels=psg_channels)
+    y = s.render(ev, seconds=cfg.seconds, master_gain=cfg.master_gain)
+    return y, ev
+
+
+# ----------------------------------------------------------------------------
+# Preset I/O (app/preset_io.py)
+# ----------------------------------------------------------------------------
+
+def load_preset(path) -> dict:
+    with Path(path).open('r', encoding='utf-8') as f:
+        return json.load(f)
+
+
+def save_preset(path, preset: dict):
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    with p.open('w', encoding='utf-8') as f:
+        json.dump(preset, f, indent=2, sort_keys=True)
+
+
+def default_cfg() -> RenderConfig:
+    return RenderConfig()
+
+
+def render_preset(preset: dict):
+    """Render a {name, generator, cfg, gen} preset dict end-to-end."""
+    cfg_d = dict(preset.get("cfg", {}))
+    cfg = RenderConfig(**{k: v for k, v in cfg_d.items()
+                          if k in RenderConfig.__dataclass_fields__})
+    gen_kwargs = dict(preset.get("gen", {}))
+    events = generate(preset.get("generator", "Glass Cells"), cfg, **gen_kwargs)
+    return render(events, cfg)

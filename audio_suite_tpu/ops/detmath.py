@@ -1,0 +1,132 @@
+"""Deterministic elementwise transcendentals (JAX + NumPy twins).
+
+Why: oscillator phases in the reference synths reach thousands of radians in
+f32 (e.g. pattern lab 0.1/app/synth_fm.py:106-112 computes sin(2*pi*hz*t) with
+t up to the note length).  A 1-ulp difference between two backends' sin/exp2
+becomes a phase error proportional to the phase magnitude, which phase-
+modulation chains then amplify past the -60 dBFS parity budget.  These
+routines make the *whole evaluation path* agree across NumPy and XLA to
+~1e-7 absolute:
+
+- arguments are expressed in CYCLES, reduced with ``x - rint(x)`` — an exact
+  f32 operation (no Cody-Waite, no FMA-contraction hazard);
+- the remaining polynomial/table steps only ever introduce errors at the
+  output's own ulp scale (never amplified), so compiler FMA contraction is
+  harmless;
+- table lookups are continuous across index-rounding boundaries.
+
+Every function has a NumPy twin (`*_np`) with the same operation sequence for
+the oracles.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+# sin(2*pi*v), cos(2*pi*v) Taylor coefficients in v (|v| <= 1/8)
+_TWO_PI = 2.0 * np.pi
+_S = [(_TWO_PI ** (2 * k + 1)) / math.factorial(2 * k + 1) * (-1) ** k
+      for k in range(5)]
+_C = [(_TWO_PI ** (2 * k)) / math.factorial(2 * k) * (-1) ** k
+      for k in range(5)]
+_S32 = [np.float32(c) for c in _S]
+_C32 = [np.float32(c) for c in _C]
+
+# exp2 table: 2**(j/32) for j in [-16, 16]
+_EXP2_TABLE = np.asarray([2.0 ** (j / 32.0) for j in range(-16, 17)],
+                         np.float32)
+_LN2 = float(np.log(2.0))
+_E1 = np.float32(_LN2)
+_E2 = np.float32(_LN2 ** 2 / 2.0)
+_E3 = np.float32(_LN2 ** 3 / 6.0)
+
+
+def _poly_sin(v):
+    z = v * v
+    return v * (_S32[0] + z * (_S32[1] + z * (_S32[2] + z * (_S32[3] + z * _S32[4]))))
+
+
+def _poly_cos(v):
+    z = v * v
+    return _C32[0] + z * (_C32[1] + z * (_C32[2] + z * (_C32[3] + z * _C32[4])))
+
+
+def sin_cycles(x):
+    """sin(2*pi*x) for f32 x in cycles. |x| should stay below ~2**22 (above
+    that, f32 cannot represent the phase at all)."""
+    x = jnp.asarray(x, jnp.float32)
+    x4 = x * jnp.float32(4.0)                   # exact
+    q = jnp.rint(x4)
+    v = (x4 - q) * jnp.float32(0.25)            # exact; |v| <= 1/8
+    m = q.astype(jnp.int32) & 3
+    sp = _poly_sin(v)
+    cp = _poly_cos(v)
+    return jnp.where(m == 0, sp,
+                     jnp.where(m == 1, cp,
+                               jnp.where(m == 2, -sp, -cp)))
+
+
+def sin_cycles_np(x):
+    x = np.asarray(x, np.float32)
+    x4 = x * np.float32(4.0)
+    q = np.rint(x4)
+    v = ((x4 - q) * np.float32(0.25)).astype(np.float32)
+    m = q.astype(np.int64).astype(np.int32) & 3
+    z = v * v
+    sp = v * (_S32[0] + z * (_S32[1] + z * (_S32[2] + z * (_S32[3] + z * _S32[4]))))
+    cp = _C32[0] + z * (_C32[1] + z * (_C32[2] + z * (_C32[3] + z * _C32[4])))
+    return np.where(m == 0, sp,
+                    np.where(m == 1, cp,
+                             np.where(m == 2, -sp, -cp))).astype(np.float32)
+
+
+def cos_cycles(x):
+    return sin_cycles(jnp.asarray(x, jnp.float32) + jnp.float32(0.25))
+
+
+def cos_cycles_np(x):
+    return sin_cycles_np(np.asarray(x, np.float32) + np.float32(0.25))
+
+
+def frac_signed(x):
+    """x - rint(x): exact signed fractional part in [-0.5, 0.5]."""
+    x = jnp.asarray(x, jnp.float32)
+    return x - jnp.rint(x)
+
+
+def frac_signed_np(x):
+    x = np.asarray(x, np.float32)
+    return (x - np.rint(x)).astype(np.float32)
+
+
+def exp2(y):
+    """2**y for f32 y (|y| <= ~100), table + tiny residual polynomial.
+    Output agrees with the NumPy twin to ~1 ulp of the result."""
+    y = jnp.asarray(y, jnp.float32)
+    k = jnp.rint(y)
+    r = y - k                                    # exact, |r| <= 0.5
+    r32 = r * jnp.float32(32.0)                  # exact
+    j = jnp.rint(r32)
+    r2 = (r32 - j) * jnp.float32(1.0 / 32.0)     # exact, |r2| <= 1/64
+    c = r2 * (_E1 + r2 * (_E2 + r2 * _E3))
+    tab = jnp.asarray(_EXP2_TABLE)
+    val = tab[j.astype(jnp.int32) + 16] * (jnp.float32(1.0) + c)
+    ki = jnp.clip(k.astype(jnp.int32), -126, 126)
+    scale = jnp.asarray((ki + 127) << 23).view(jnp.float32)
+    return val * scale
+
+
+def exp2_np(y):
+    y = np.asarray(y, np.float32)
+    k = np.rint(y)
+    r = (y - k).astype(np.float32)
+    r32 = r * np.float32(32.0)
+    j = np.rint(r32)
+    r2 = ((r32 - j) * np.float32(1.0 / 32.0)).astype(np.float32)
+    c = r2 * (_E1 + r2 * (_E2 + r2 * _E3))
+    val = _EXP2_TABLE[j.astype(np.int32) + 16] * (np.float32(1.0) + c)
+    ki = np.clip(k.astype(np.int32), -126, 126)
+    scale = np.asarray((ki + 127) << 23, np.int32).view(np.float32)
+    return (val * scale).astype(np.float32)

@@ -1,0 +1,209 @@
+"""FM / PSG voice kernels — the Mega Drive-ish synth as vmapped TPU math.
+
+Ports of pattern lab 0.1/app/synth_fm.py (4-op phase-modulation voice with
+feedback + vibrato) and app/synth_psg.py (duty square / 15-bit LFSR noise).
+The reference's two per-sample Python loops become:
+
+- one-pole lowpass  -> log-depth linear-recurrence associative scan
+  (synth_fm.py:115-124, synth_psg.py:115-124)
+- LFSR noise        -> pure gather: the LFSR transition is a bijection on
+  15-bit states, so its orbits are precomputed once on host and a note's
+  noise is a (base + i) mod cycle_len lookup (synth_psg.py:89-97)
+
+All kernels take a padded sample-index vector i[L] plus a true length n and
+mask internally, so notes of different lengths vmap into static-shape buckets.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .envelopes import adsr_clamped, micro_fade_gain
+from . import detmath
+
+
+# ----------------------------------------------------------------------------
+# Quantizer (app/music.py:89-94)
+# ----------------------------------------------------------------------------
+
+def quantize_to_bits(x, levels_minus_1):
+    """Symmetric bit quantization; levels_minus_1 = 2**(bits-1) - 1 (f32)."""
+    y = jnp.clip(x, -1.0, 1.0)
+    return jnp.round(y * levels_minus_1) / levels_minus_1
+
+
+# ----------------------------------------------------------------------------
+# One-pole lowpass as an associative scan
+# ----------------------------------------------------------------------------
+
+def one_pole_lp(x, a):
+    """y[t] = a*y[t-1] + (1-a)*x[t], y[-1] = 0 — as a parallel prefix over
+    the affine maps y -> a*y + b (synth_fm.py:115-124)."""
+    a = jnp.float32(a)
+    b = (jnp.float32(1.0) - a) * x
+    A = jnp.full_like(x, a)
+
+    def combine(l, r):
+        al, bl = l
+        ar, br = r
+        return al * ar, ar * bl + br
+
+    _, y = jax.lax.associative_scan(combine, (A, b), axis=-1)
+    return y
+
+
+# ----------------------------------------------------------------------------
+# LFSR noise via orbit tables
+# ----------------------------------------------------------------------------
+
+def _lfsr_next(s: int) -> int:
+    """synth_psg.py:92-95: bit = (s ^ (s>>1)) & 1; s' = (s>>1) | (bit<<14)."""
+    bit = (s ^ (s >> 1)) & 1
+    return (s >> 1) | (bit << 14)
+
+
+@lru_cache(maxsize=1)
+def lfsr_tables():
+    """Decompose the 15-bit LFSR transition (a bijection) into orbits.
+
+    Returns (orbit_pm1[f32 total_states], base[int32 2**15],
+    pos[int32 2**15], clen[int32 2**15]) such that the k-th output sample for
+    seed s is orbit_pm1[base[s] + (pos[s] + 1 + k) % clen[s]].
+    """
+    N = 1 << 15
+    nxt = np.empty(N, np.int32)
+    for s in range(N):
+        nxt[s] = _lfsr_next(s)
+    visited = np.zeros(N, bool)
+    base = np.zeros(N, np.int32)
+    pos = np.zeros(N, np.int32)
+    clen = np.zeros(N, np.int32)
+    flat = []
+    for s0 in range(N):
+        if visited[s0]:
+            continue
+        cyc = []
+        s = s0
+        while not visited[s]:
+            visited[s] = True
+            cyc.append(s)
+            s = nxt[s]
+        # s0's chain may lead into an existing cycle; the LFSR map is a
+        # bijection so every chain IS a cycle, but guard anyway
+        b = len(flat)
+        for p, st in enumerate(cyc):
+            base[st] = b
+            pos[st] = p
+            clen[st] = len(cyc)
+        flat.extend(cyc)
+    flat = np.asarray(flat, np.int32)
+    orbit_pm1 = np.where((flat & 1) != 0, 1.0, -1.0).astype(np.float32)
+    return orbit_pm1, base, pos, clen
+
+
+def lfsr_noise(i, seed, orbit_pm1, base, pos, clen):
+    """±1 noise samples for `seed` at indices i (device gather)."""
+    s = seed & 0x7FFF
+    b = base[s]
+    p = pos[s]
+    L = clen[s]
+    idx = b + jnp.mod(p + 1 + i, L)
+    return orbit_pm1[idx]
+
+
+# ----------------------------------------------------------------------------
+# PSG voice (synth_psg.py:100-124)
+# ----------------------------------------------------------------------------
+
+def psg_note(i, n, hz, vel, duty, use_noise, A, D, R, s, levels_m1,
+             fade_samples, lp_a, seed, orbit_pm1, base, pos, clen, sr):
+    """One PSG note over padded indices i[L]; masked beyond n."""
+    env = adsr_clamped(i, n, A, D, R, s)
+    t = i.astype(jnp.float32) / jnp.float32(sr)
+    phase = jnp.mod(t * hz, jnp.float32(1.0))
+    square = jnp.where(phase < duty, jnp.float32(1.0), jnp.float32(-1.0))
+    noise = lfsr_noise(i, seed, orbit_pm1, base, pos, clen)
+    sig = jnp.where(use_noise, noise, square)
+    y = sig * env * vel
+    y = quantize_to_bits(y, levels_m1)
+    y = y * micro_fade_gain(i, n, fade_samples)
+    y = one_pole_lp(y, lp_a)
+    return jnp.where(i < n, y, jnp.float32(0.0))
+
+
+# ----------------------------------------------------------------------------
+# FM voice (synth_fm.py:127-191)
+# ----------------------------------------------------------------------------
+
+def fm_note(i, n, f_ops, vel, chan_params, fade_samples, lp_a1, lp_a2,
+            dac_levels_m1, sr):
+    """One 4-operator FM note over padded indices i[L].
+
+    f_ops: f32[4] per-op frequencies in Hz (host-precomputed
+      base * ratio * 2**(cents/1200), single f64->f32 cast).
+    chan_params: dict of per-channel scalars/vectors gathered outside:
+      level[4], index_cyc[4] (mod index / 2*pi — PM depth in cycles),
+      A[4] D[4] R[4] (int32), s[4], algorithm (int32), feedback (f32),
+      lfo_hz (f32), lfo_depth (f32)
+
+    Phases are evaluated in CYCLES with exact frac reduction (ops/detmath.py)
+    so the NumPy oracle matches bit-for-bit; the three algorithms are all
+    evaluated and selected — branchless for vmap.
+    """
+    t = i.astype(jnp.float32) / jnp.float32(sr)
+
+    lfo_depth = chan_params["lfo_depth"]
+    vib = detmath.sin_cycles(chan_params["lfo_hz"] * t)
+    vib_ratio = detmath.exp2((lfo_depth * vib) * jnp.float32(1.0 / 12.0))
+    has_vib = lfo_depth > 0.0
+
+    def op_sig(k, pm_cyc):
+        # carrier cycles, reduced before adding the (small) PM term so the
+        # product can't contract with the add into an FMA
+        c = f_ops[k] * t
+        c = jnp.where(has_vib, c * vib_ratio, c)
+        r0 = detmath.frac_signed(c)
+        if pm_cyc is not None:
+            r0 = r0 + pm_cyc
+        sig = detmath.sin_cycles(r0)
+        env = adsr_clamped(i, n, chan_params["A"][k], chan_params["D"][k],
+                           chan_params["R"][k], chan_params["s"][k])
+        return sig * env * chan_params["level"][k]
+
+    fb = jnp.maximum(jnp.float32(0.0), chan_params["feedback"])
+    idx = chan_params["index_cyc"]
+
+    # shared by algorithms 1 & 2: op4 with one-sample feedback delay
+    o4 = op_sig(3, None)
+    o4fb = o4 + fb * jnp.concatenate([jnp.zeros(1, jnp.float32), o4[:-1]])
+    use_fb = fb > 0
+    o4_eff = jnp.where(use_fb, o4fb, o4)
+
+    # algorithm 1: 4 -> 3 -> 2 -> 1
+    a1_o3 = op_sig(2, idx[2] * o4_eff)
+    a1_o2 = op_sig(1, idx[1] * a1_o3)
+    a1_o1 = op_sig(0, idx[0] * a1_o2)
+    y1 = a1_o1
+
+    # algorithm 2: (4->3) + (2->1), sum * 0.6
+    a2_o3 = a1_o3                         # same 4->3 stack
+    a2_o2 = op_sig(1, None)
+    a2_o1 = op_sig(0, idx[0] * a2_o2)
+    y2 = (a2_o3 + a2_o1) * jnp.float32(0.6)
+
+    # algorithm 3: all carriers * 0.25
+    y3 = (op_sig(0, None) + op_sig(1, None) + op_sig(2, None) + o4) \
+        * jnp.float32(0.25)
+
+    alg = chan_params["algorithm"]
+    y = jnp.where(alg == 1, y1, jnp.where(alg == 2, y2, y3))
+
+    y = y * vel
+    y = quantize_to_bits(y, dac_levels_m1)
+    y = y * micro_fade_gain(i, n, fade_samples)
+    y = one_pole_lp(y, lp_a1)
+    y = one_pole_lp(y, lp_a2)
+    return jnp.where(i < n, y, jnp.float32(0.0))

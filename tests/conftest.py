@@ -8,8 +8,12 @@ import os
 import sys
 
 # Force CPU: the environment presets JAX_PLATFORMS=axon (TPU tunnel), which
-# has multi-minute first compiles and crashes on very long scans.
+# has multi-minute first compiles and crashes on very long scans.  NOTE: the
+# env var alone is overridden by the axon plugin — the config call below is
+# what actually works.
 os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
