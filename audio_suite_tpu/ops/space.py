@@ -1,0 +1,108 @@
+"""Space/'room as microsound' FX — ports of microsound_0.2.1/main_v2.py:409-445.
+
+- early_reflection_cloud: the reference's per-tap delay loop becomes a sparse
+  tap kernel (built host-side from the same RNG draws) convolved via
+  partitioned FFT convolution.
+- convolve_ir_short: np.convolve(x, ir, 'full')[:len(x)] == causal FIR —
+  same partitioned FFT path (the BASELINE.json "partitioned FFT convolution"
+  requirement).
+- spectral_diffusion_stereo: asymmetric np.roll delays + sinusoidal phase
+  rotation on the right channel.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def fft_convolve_causal(x, kernel, block: int = 1 << 17):
+    """y[:len(x)] of np.convolve(x, kernel) via overlap-add partitioned FFT.
+
+    x: f32[N], kernel: f32[K].  Blocks of `block` samples are convolved at
+    FFT size >= block + K - 1 and overlap-added — bounded memory for
+    minute-long renders (SURVEY.md §5 long-context strategy).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    kernel = jnp.asarray(kernel, jnp.float32)
+    N = x.shape[0]
+    K = kernel.shape[0]
+    if K == 0:
+        return jnp.zeros_like(x)
+    block = max(block, K)
+    nfft = 1
+    while nfft < block + K - 1:
+        nfft *= 2
+    nblocks = (N + block - 1) // block
+    pad_n = nblocks * block
+    xp = jnp.zeros(pad_n, jnp.float32).at[:N].set(x)
+    frames = xp.reshape(nblocks, block)
+    Kf = jnp.fft.rfft(kernel, n=nfft)
+    Y = jnp.fft.irfft(jnp.fft.rfft(frames, n=nfft, axis=-1) * Kf[None, :],
+                      n=nfft, axis=-1)
+    # overlap-add block results at stride `block`
+    out = jnp.zeros(pad_n + nfft, jnp.float32)
+    idx = (jnp.arange(nblocks)[:, None] * block
+           + jnp.arange(nfft)[None, :]).reshape(-1)
+    out = out.at[idx].add(Y.reshape(-1))
+    return out[:N]
+
+
+def er_tap_kernel(taps: int, max_ms: float, sr: int, seed: int) -> np.ndarray:
+    """Host: the reflection cloud's tap kernel (delays/gains exactly as
+    main_v2.py:409-421, rng(seed+202): delays U(0.3,max_ms) ms, gains
+    U(-1,1)*e^{-42 d}; identity tap at 0 for the dry copy)."""
+    rng = np.random.default_rng(int(seed) + 202)
+    delays = rng.uniform(0.3, max_ms, size=int(max(1, taps))) / 1000.0
+    gains = rng.uniform(-1.0, 1.0, size=delays.size)
+    gains *= np.exp(-delays * 42.0)
+    k = np.zeros(int(round(max_ms / 1000.0 * sr)) + 2, np.float64)
+    k[0] = 1.0
+    for d, g in zip(delays, gains):
+        off = int(round(d * sr))
+        if off <= 0:
+            continue
+        if off < len(k):
+            k[off] += g
+    return k.astype(np.float32)
+
+
+def spectral_diffusion_stereo(x, sr: int, width: float = 0.6):
+    """Stereo widener (main_v2.py:423-436): circular rolls + phase rotation
+    of the right channel. Returns [N, 2]."""
+    width = float(np.clip(width, 0.0, 1.0))
+    n = x.shape[0]
+    if n < 64:
+        return jnp.stack([x, x], axis=-1)
+    dl = int(round((1 + 7 * width) * 0.0005 * sr))
+    dr = int(round((1 + 9 * width) * 0.0007 * sr))
+    L = jnp.roll(x, dl)
+    R = jnp.roll(x, -dr)
+    X = jnp.fft.rfft(R)
+    k = jnp.arange(X.shape[0], dtype=jnp.float32)
+    kmax = jnp.maximum(1.0, k[-1])
+    rot = jnp.exp(1j * (width * 0.9)
+                  * jnp.sin(2 * jnp.pi * k / kmax).astype(jnp.complex64))
+    R2 = jnp.fft.irfft(X * rot, n=n).astype(jnp.float32)
+    return jnp.stack([L, R2], axis=-1)
+
+
+def soft_clip(x, drive: float = 1.0):
+    """tanh soft clip (main_v2.py:31-34)."""
+    drive = float(drive)
+    if drive <= 0:
+        return x
+    return jnp.tanh(x * drive) / np.tanh(drive)
+
+
+def normalize(x, peak: float = 0.98):
+    """Scale to peak (up or down, main_v2.py:26-29)."""
+    m = jnp.max(jnp.abs(x))
+    return jnp.where(m <= 0, x, x * (peak / jnp.maximum(m, 1e-30)))
+
+
+def normalize_masked(x, mask, peak: float = 0.98):
+    """normalize() where the peak is taken over the masked (true-length)
+    region only — for padded grain buffers."""
+    m = jnp.max(jnp.abs(jnp.where(mask, x, 0.0)))
+    return jnp.where(m <= 0, x, x * (jnp.float32(peak) / jnp.maximum(m, 1e-30)))

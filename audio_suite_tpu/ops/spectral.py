@@ -1,0 +1,208 @@
+"""Spectral kernels for Microsound grains — ports of the rfft-domain DSP in
+microsound_0.2.1/main_v2.py:39-163, vectorized/vmappable over grain batches.
+
+Framework semantics note: grains of different design lengths are processed
+zero-padded to a static bucket length (the FFT runs at the padded length and
+outputs are re-truncated).  The NumPy oracle uses the identical convention,
+so parity is exact; deviation from the reference's exact-length FFTs is a
+(documented, inaudible-scale) resolution difference.
+
+All functions take true length `n` (traced) and operate on f32[L] buffers.
+`sr` may be traced (per-event design rates under bp_unfold automation).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _freqs(L: int, sr):
+    """rfftfreq for padded length L at sample rate sr (main_v2.py:36-37)."""
+    return jnp.arange(L // 2 + 1, dtype=jnp.float32) * (
+        jnp.asarray(sr, jnp.float32) / jnp.float32(L))
+
+
+def lowpass_fft(x, sr, cutoff, roll=0.0):
+    """FFT lowpass with cosine rolloff band (main_v2.py:39-59)."""
+    L = x.shape[-1]
+    nyq = 0.5 * jnp.asarray(sr, jnp.float32)
+    cutoff = jnp.clip(jnp.asarray(cutoff, jnp.float32), 1.0, nyq)
+    roll = jnp.maximum(jnp.asarray(roll, jnp.float32), 0.0)
+    X = jnp.fft.rfft(x)
+    f = _freqs(L, sr)
+    f0 = cutoff
+    f1 = jnp.minimum(nyq, cutoff + roll)
+    t = (f - f0) / jnp.maximum(1e-12, f1 - f0)
+    w_roll = 0.5 * (1.0 + jnp.cos(jnp.pi * jnp.clip(t, 0.0, 1.0)))
+    gain_rolloff = jnp.where(f > f1, 0.0, jnp.where(f >= f0, w_roll, 1.0))
+    gain_hard = jnp.where(f > cutoff, 0.0, 1.0)
+    gain = jnp.where(roll <= 0, gain_hard, gain_rolloff)
+    return jnp.fft.irfft(X * gain, n=L).astype(jnp.float32)
+
+
+def bandpass_fft(x, sr, lo, hi, roll=0.0):
+    """FFT bandpass with cosine rolloffs (main_v2.py:61-101)."""
+    L = x.shape[-1]
+    nyq = 0.5 * jnp.asarray(sr, jnp.float32)
+    lo = jnp.maximum(0.0, jnp.asarray(lo, jnp.float32))
+    hi = jnp.minimum(jnp.maximum(lo, jnp.asarray(hi, jnp.float32)), nyq)
+    roll = jnp.maximum(jnp.asarray(roll, jnp.float32), 0.0)
+    X = jnp.fft.rfft(x)
+    f = _freqs(L, sr)
+
+    # low edge (0 -> 1 over [lo-roll, lo])
+    lo_f0 = jnp.maximum(0.0, lo - roll)
+    t_lo = (f - lo_f0) / jnp.maximum(1e-12, lo - lo_f0)
+    w_lo = 0.5 * (1.0 - jnp.cos(jnp.pi * jnp.clip(t_lo, 0.0, 1.0)))
+    g_lo_roll = jnp.where(f < lo_f0, 0.0, jnp.where(f <= lo, w_lo, 1.0))
+    g_lo_hard = jnp.where(f < lo, 0.0, 1.0)
+    g_lo = jnp.where(lo > 0, jnp.where(roll <= 0, g_lo_hard, g_lo_roll), 1.0)
+
+    # high edge (1 -> 0 over [hi, hi+roll])
+    hi_f1 = jnp.minimum(nyq, hi + roll)
+    t_hi = (f - hi) / jnp.maximum(1e-12, hi_f1 - hi)
+    w_hi = 0.5 * (1.0 + jnp.cos(jnp.pi * jnp.clip(t_hi, 0.0, 1.0)))
+    g_hi_roll = jnp.where(f > hi_f1, 0.0, jnp.where(f >= hi, w_hi, 1.0))
+    g_hi_hard = jnp.where(f > hi, 0.0, 1.0)
+    g_hi = jnp.where(hi < nyq, jnp.where(roll <= 0, g_hi_hard, g_hi_roll), 1.0)
+
+    y = jnp.fft.irfft(X * (g_lo * g_hi), n=L).astype(jnp.float32)
+    return jnp.where(hi <= 0, jnp.zeros_like(y), y)
+
+
+def _interp_spectrum(X, k_in):
+    """np.interp of Re/Im at fractional bin positions, zero outside
+    (main_v2.py:110-114)."""
+    k = jnp.arange(X.shape[-1], dtype=jnp.float32)
+    re = jnp.interp(k_in, k, X.real, left=0.0, right=0.0)
+    im = jnp.interp(k_in, k, X.imag, left=0.0, right=0.0)
+    return re + 1j * im
+
+
+def fft_warp_power(x, power):
+    """Power-law frequency warp (main_v2.py:103-115)."""
+    L = x.shape[-1]
+    X = jnp.fft.rfft(x)
+    k = jnp.arange(X.shape[-1], dtype=jnp.float32)
+    kmax = jnp.maximum(1.0, k[-1])
+    u = k / kmax
+    u_in = jnp.power(u, 1.0 / jnp.maximum(1e-6, jnp.asarray(power, jnp.float32)))
+    Y = _interp_spectrum(X, u_in * kmax)
+    return jnp.fft.irfft(Y, n=L).astype(jnp.float32)
+
+
+def fft_partial_stretch(x, factor):
+    """Linear partial stretch via spectrum resampling (main_v2.py:117-128)."""
+    L = x.shape[-1]
+    X = jnp.fft.rfft(x)
+    k = jnp.arange(X.shape[-1], dtype=jnp.float32)
+    k_in = k / jnp.maximum(1e-12, jnp.asarray(factor, jnp.float32))
+    Y = _interp_spectrum(X, k_in)
+    y = jnp.fft.irfft(Y, n=L).astype(jnp.float32)
+    return jnp.where(jnp.abs(jnp.asarray(factor, jnp.float32) - 1.0) < 1e-9,
+                     x, y)
+
+
+def partial_lock_stretch(x, factor, top_n: int = 24, neighborhood: int = 4):
+    """Peak-locked stretch: top-N spectral peaks remapped k -> k*factor with
+    triangular spread + 0.12 dry (main_v2.py:130-148)."""
+    L = x.shape[-1]
+    X = jnp.fft.rfft(x)
+    nf = X.shape[-1]
+    mag = jnp.abs(X)
+    _, rel = jax.lax.top_k(mag[1:], top_n)
+    peaks = rel.astype(jnp.int32) + 1
+    k2 = jnp.round(peaks.astype(jnp.float32)
+                   * jnp.asarray(factor, jnp.float32)).astype(jnp.int32)
+    Y = jnp.zeros_like(X)
+    for d in range(-neighborhood, neighborhood + 1):
+        w = jnp.float32(1.0 - (abs(d) / (neighborhood + 1)))
+        kk = k2 + d
+        ok = (kk >= 1) & (kk < nf)
+        Y = Y.at[jnp.where(ok, kk, nf)].add(
+            jnp.where(ok, X[peaks] * w, 0.0), mode="drop")
+    Y = Y + jnp.complex64(0.12) * X
+    y = jnp.fft.irfft(Y, n=L).astype(jnp.float32)
+    return jnp.where(jnp.abs(jnp.asarray(factor, jnp.float32) - 1.0) < 1e-9,
+                     x, y)
+
+
+def cepstral_warp(x, factor):
+    """Cepstral envelope warp (main_v2.py:150-163).
+
+    Framework semantics: the reference floors the magnitude at +1e-12
+    absolute (f64).  In f32, bins the preceding filters zeroed carry FFT
+    round-trip noise (~1e-7 relative), and log() of that noise floor is
+    backend-dependent by several units, which the quefrency warp then smears
+    across the whole spectrum.  The floor is therefore RELATIVE:
+    max(mag, 1e-4 * peak) — a -80 dBFS spectral floor, below which the
+    envelope is meaningless anyway."""
+    L = x.shape[-1]
+    X = jnp.fft.rfft(x)
+    mag = jnp.abs(X)
+    floor = jnp.float32(1e-4) * jnp.maximum(jnp.max(mag), 1e-30)
+    logmag = jnp.log(jnp.maximum(mag, floor))
+    cep = jnp.fft.irfft(logmag, n=L)
+    t = jnp.arange(L, dtype=jnp.float32)
+    t_in = t / jnp.maximum(1e-12, jnp.asarray(factor, jnp.float32))
+    cep2 = jnp.interp(t_in, t, cep, left=0.0, right=0.0)
+    logmag2 = jnp.fft.rfft(cep2).real
+    mag2 = jnp.exp(logmag2)
+    Y = mag2 * jnp.exp(1j * jnp.angle(X))
+    return jnp.fft.irfft(Y, n=L).astype(jnp.float32)
+
+
+def multiband_unfold(x, gen_sr, bands_out_hz, unfolds, roll_hz=0.0):
+    """Multi-band unfold (main_v2.py:493-500): each output band (lo,hi) is
+    extracted at the design rate at (lo*u, hi*u) and reinterpreted at base_sr
+    (reinterpretation itself is metadata — unfold_reinterpret main_v2.py:489
+    is the identity on samples), then summed.  bands/unfolds are static."""
+    out = None
+    for (lo_out, hi_out), u in zip(bands_out_hz, unfolds):
+        band = bandpass_fft(x, gen_sr, float(lo_out) * float(u),
+                            float(hi_out) * float(u), roll=roll_hz)
+        out = band if out is None else out + band
+    return out if out is not None else x
+
+
+def stft_mag_db(x, sr: int, win: int = 2048, hop: int = 256,
+                max_frames: int = 3000):
+    """Framed rfft magnitude in dB for analysis views (main_v2.py:197-212)."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    w = jnp.asarray(np.hanning(win) if win > 1 else np.ones(win), jnp.float32)
+    # np.hanning matches the reference hann (main_v2.py:17-21)
+    if n < win:
+        pad = jnp.zeros(win, jnp.float32).at[:n].set(
+            x * w[:n] if n > 1 else x)
+        X = jnp.fft.rfft(pad)
+        return 20.0 * jnp.log10(jnp.maximum(jnp.abs(X), 1e-12))[:, None]
+    frames = min(1 + (n - win) // hop, max_frames)
+    idx = jnp.arange(frames)[:, None] * hop + jnp.arange(win)[None, :]
+    segs = x[idx] * w[None, :]
+    X = jnp.fft.rfft(segs, axis=-1)
+    S = 20.0 * jnp.log10(jnp.maximum(jnp.abs(X), 1e-12))
+    return S.T
+
+
+def spectral_imprint_scan(mags, amount, smooth):
+    """SpectralImprint memory across an event sequence (main_v2.py:565-581):
+    mem_0 = mag_0; mem_i = smooth*mem_{i-1} + (1-smooth)*mag_i — a linear
+    recurrence over events, evaluated as a log-depth associative scan.
+    Returns mag2[E, nf] = (1-amount)*mag + amount*mem."""
+    E = mags.shape[0]
+    sm = jnp.float32(smooth)
+    A = jnp.concatenate([jnp.ones((1,) + mags.shape[1:], jnp.float32),
+                         jnp.full((E - 1,) + mags.shape[1:], sm)])
+    B = jnp.concatenate([mags[:1],
+                         (jnp.float32(1.0) - sm) * mags[1:]])
+
+    def combine(l, r):
+        al, bl = l
+        ar, br = r
+        return al * ar, ar * bl + br
+
+    _, mem = jax.lax.associative_scan(combine, (A, B), axis=0)
+    amt = jnp.float32(amount)
+    return (jnp.float32(1.0) - amt) * mags + amt * mem

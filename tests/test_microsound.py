@@ -1,0 +1,200 @@
+"""Microsound engine vs. NumPy oracle (SURVEY.md §4 test plan): every grain
+generator mode, the spectral-warp chain, feedback/imprint recurrences,
+multiband unfold, global FX, chunked rendering, and reference-preset
+compatibility."""
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from audio_suite_tpu.models import microsound as ms
+from audio_suite_tpu.utils.metrics import max_dev_dbfs
+from oracles.microsound_ref import render_ref
+
+PRESET_DIR = "/root/reference/microsound_0.2.1/presets"
+
+
+def small_params(**kw):
+    """A fast, fully-featured config: tiny rates so tests stay quick but all
+    code paths execute."""
+    base = dict(
+        base_sr=8000, out_dur_s=0.4, time_unfold=2.0, micro_ms=4.0,
+        seed=4242, event_process="Poisson", grains_per_sec=30.0,
+        max_grains=64, grain_amp_rand=0.35, grain_offset_on=True,
+        grain_offset_max_ms=10.0, bandlimit_on=True, bandlimit_out_hz=3000.0,
+        bandlimit_roll_hz=500.0, er_cloud_on=True, er_taps=64, er_max_ms=20.0,
+        stereo_on=True, stereo_width=0.6, env_a=5.0, env_d=50.0, env_s=0.7,
+        env_r=100.0, bp_density="", bp_unfold="", bp_cutoff="", bp_stretch="",
+    )
+    base.update(kw)
+    return ms.MicrosoundParams.from_dict(base)
+
+
+def run_both(p, ir_audio=None, img_gray=None, event_chunk=None):
+    prog = ms.build_program(p, ir_audio=ir_audio, img_gray=img_gray)
+    ref = render_ref(p, prog, ir_audio=ir_audio)
+    out, meta = ms.render(p, ir_audio=ir_audio, img_gray=img_gray,
+                          event_chunk=event_chunk)
+    assert out.shape == ref.shape
+    return out, ref, meta
+
+
+BASIC_MODES = ["Gaussian click", "Dust impulses", "Noise burst",
+               "Skewed transient", "Resonant strike"]
+
+
+@pytest.mark.parametrize("mode", BASIC_MODES)
+def test_basic_modes_parity(mode):
+    p = small_params(gen_mode=mode, ring_hz=900.0, ring_decay_ms=3.0,
+                     dust_density=0.05, noise_tilt=-3.0)
+    out, ref, meta = run_both(p)
+    assert meta["events"] > 2
+    assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_crackle_parity():
+    p = small_params(gen_mode="Crackle / corona", crackle_alpha=1.4,
+                     crackle_density=60.0, crackle_kernel=32)
+    out, ref, _ = run_both(p)
+    assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_stick_slip_parity():
+    p = small_params(gen_mode="Stick–slip friction", grains_per_sec=15.0)
+    out, ref, _ = run_both(p)
+    assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_micro_chaos_parity():
+    p = small_params(gen_mode="Micro-chaos", grains_per_sec=15.0)
+    out, ref, _ = run_both(p)
+    assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_wavelet_parity():
+    p = small_params(gen_mode="Wavelet atoms", wav_base_hz=600.0,
+                     wav_count=4, wav_spread=0.6, micro_ms=10.0,
+                     grains_per_sec=12.0)
+    out, ref, _ = run_both(p)
+    assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_ir_fragment_parity():
+    rng = np.random.default_rng(3)
+    ir = rng.standard_normal(2048).astype(np.float32) * 0.5
+    p = small_params(gen_mode="IR fragment", grains_per_sec=15.0)
+    out, ref, _ = run_both(p, ir_audio=ir)
+    assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_image_scanline_parity():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(32, 64)).astype(np.float64)
+    p = small_params(gen_mode="Image scanline", grains_per_sec=15.0)
+    out, ref, _ = run_both(p, img_gray=img)
+    assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_warp_chain_parity():
+    """nonlinear warp + cepstral warp + partial stretch together."""
+    p = small_params(gen_mode="Noise burst", nl_warp_on=True,
+                     nl_warp_power=1.4, cep_warp_on=True, cep_factor=1.3,
+                     partial_stretch=1.7)
+    out, ref, _ = run_both(p)
+    assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_partial_lock_parity():
+    p = small_params(gen_mode="Resonant strike", ring_hz=700.0,
+                     partial_lock_on=True, partial_stretch=2.0,
+                     pl_top_n=12, pl_neigh=3)
+    out, ref, _ = run_both(p)
+    assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_resonator_waveguide_parity():
+    p = small_params(gen_mode="Gaussian click", res_bank_on=True,
+                     res_modes=8, res_fmin=100.0, res_fmax=2500.0,
+                     res_decay_ms=20.0, wg_on=True, wg_lines=2,
+                     wg_max_ms=2.0, wg_fb=0.6, grains_per_sec=10.0,
+                     out_dur_s=0.25)
+    out, ref, _ = run_both(p)
+    assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_multiband_unfold_parity():
+    p = small_params(gen_mode="Noise burst", unfold_mode="Multi-band unfold",
+                     mb_b1=500.0, mb_b2=1500.0, mb_b3=3500.0,
+                     mb_u1=3.0, mb_u2=2.0, mb_u3=1.5, mb_roll=200.0,
+                     time_unfold=3.0)
+    out, ref, _ = run_both(p)
+    assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_feedback_imprint_parity():
+    p = small_params(gen_mode="Noise burst", event_feedback_on=True,
+                     event_feedback_amt=0.4, spectral_imprint_on=True,
+                     spectral_imprint_amt=0.35, spectral_imprint_smooth=0.9)
+    out, ref, _ = run_both(p)
+    assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_breakpoint_lanes_parity():
+    """breakpoint automation drives per-event density/unfold/cutoff/stretch
+    (and therefore variable grain lengths)."""
+    p = small_params(gen_mode="Noise burst",
+                     bp_density="0:10, 0.2:60, 0.4:20",
+                     bp_unfold="0:1.5, 0.4:3",
+                     bp_cutoff="0:2000, 0.4:3500",
+                     bp_stretch="0:0.8, 0.4:1.6")
+    out, ref, meta = run_both(p)
+    assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_chunked_render_matches_unchunked():
+    p = small_params(gen_mode="Gaussian click", event_feedback_on=True,
+                     event_feedback_amt=0.3)
+    out1, _ = ms.render(p, event_chunk=None)
+    out2, _ = ms.render(p, event_chunk=3)
+    assert max_dev_dbfs(out1, out2) <= -100.0
+
+
+def test_ir_convolution_and_hawkes():
+    rng = np.random.default_rng(11)
+    ir = (rng.standard_normal(512) * np.exp(-np.arange(512) / 64.0)) \
+        .astype(np.float32)
+    p = small_params(gen_mode="Gaussian click", event_process="Hawkes",
+                     hawkes_gain=0.8, space_ir_on=True,
+                     space_ir_max_samps=512)
+    out, ref, _ = run_both(p, ir_audio=ir)
+    assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_single_and_clustered_processes():
+    for proc in ("Single", "Clustered"):
+        p = small_params(gen_mode="Noise burst", event_process=proc)
+        out, ref, _ = run_both(p)
+        assert max_dev_dbfs(out, ref) <= -60.0, proc
+
+
+@pytest.mark.skipif(not os.path.isdir(PRESET_DIR),
+                    reason="reference presets not mounted")
+def test_all_reference_presets_load():
+    """All 27 reference preset JSONs load unchanged (main_v2.py:1268-1294
+    factory-default merge semantics)."""
+    paths = sorted(glob.glob(os.path.join(PRESET_DIR, "*.json")))
+    assert len(paths) >= 20
+    for path in paths:
+        with open(path) as f:
+            d = json.load(f)
+        p = ms.MicrosoundParams.from_dict(d)
+        assert p.gen_mode in ms.GEN_MODES, path
+        assert p.base_sr >= 44100
+        # the program builder must accept every preset (scaled down so the
+        # test stays fast: duration and grain caps only)
+        p.out_dur_s = min(p.out_dur_s, 0.05)
+        p.max_grains = min(p.max_grains, 4)
+        prog = ms.build_program(p)
+        assert prog["out_n"] > 0
