@@ -1,0 +1,503 @@
+"""Grid Audio engine — multi-track grid DAW mixdown.
+
+Re-creates grid_audio_app_0.2/grid_audio_app.py's render path TPU-first:
+
+- data model (CellSource / Track / MasterClock, :156-233), division system
+  with the sandboxed user-code path (:196-213), plugin cells
+  (generate/event contracts wire-compatible with the reference examples),
+  restart-event resolution (:601-706 — with the reference's missing
+  ``import math`` bug FIXED rather than reproduced, SURVEY.md §7),
+- the per-master-sample phase-accumulator placement loop (:786-814) becomes
+  a fully parallel SEGMENTED CUMSUM over reset boundaries (SURVEY.md §7
+  design decision 1): positions are integrated in f64 on the host (exact,
+  vectorized — control data), while the audio path (pattern gather, gain,
+  track sum, clip) is one jitted device kernel over a flattened pattern
+  bank, shape-stable in the number of tracks.
+
+Track patterns and user-script audio are host NumPy (arbitrary Python);
+their outputs ship to device as the flat pattern bank.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..plugins.host import load_py_module
+from ..utils import io as audio_io
+
+DEFAULT_DIVISION_SNIPPET = "def divisions(total):\n    return [total/16.0]*16\n"
+
+
+def divisions_uniform(total: float, n: int) -> List[float]:
+    n = max(1, int(n))
+    return [total / n] * n
+
+
+def parse_float_list(text: str) -> List[float]:
+    """Sync-point parser (grid_audio_app.py:118-131)."""
+    pts: List[float] = []
+    for part in (text or "").replace(";", ",").split(","):
+        s = part.strip()
+        if not s:
+            continue
+        try:
+            v = float(s)
+            if np.isfinite(v):
+                pts.append(v)
+        except Exception:
+            pass
+    pts.sort()
+    return pts
+
+
+def moving_average(x: np.ndarray, win: int) -> np.ndarray:
+    """(grid_audio_app.py:133-140)"""
+    if win <= 1:
+        return x
+    win = min(win, len(x))
+    if win <= 1:
+        return x
+    k = np.ones(win, dtype=np.float32) / float(win)
+    return np.convolve(x, k, mode="same").astype(np.float32)
+
+
+def rms_envelope(x: np.ndarray, win: int) -> np.ndarray:
+    """(grid_audio_app.py:142-147)"""
+    if len(x) == 0:
+        return x.astype(np.float32, copy=False)
+    xx = x.astype(np.float32, copy=False) ** 2
+    sm = moving_average(xx, max(1, win))
+    return np.sqrt(np.maximum(sm, 0.0)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Data model (grid_audio_app.py:156-233)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CellSource:
+    kind: str = "empty"   # "empty" | "wav" | "py"
+    path: str = ""
+
+
+@dataclass
+class Track:
+    name: str = "Track"
+    gain_db: float = 0.0
+    mode: str = "tempo_bpm"   # "tempo_bpm" | "tempo_spm" | "duration"
+    bpm: float = 120.0
+    seconds_per_measure: float = 2.0
+    beats_per_measure: int = 4
+    measures: int = 4
+    duration_seconds: float = 8.0
+
+    start_offset_seconds: float = 0.0
+    loop_to_master: bool = False
+    sync_points_text: str = ""
+
+    mod_source_index: int = -1
+    mod_amount: float = 0.0
+    mod_smoothing_ms: float = 50.0
+
+    division_mode: str = "uniform"   # "uniform" | "python"
+    uniform_n: int = 16
+    python_code: str = DEFAULT_DIVISION_SNIPPET
+
+    cells: List[CellSource] = field(default_factory=list)
+
+    def total_duration(self) -> float:
+        if self.mode == "duration":
+            return max(0.0, float(self.duration_seconds))
+        if self.mode == "tempo_spm":
+            return float(self.measures) * max(1e-6,
+                                              float(self.seconds_per_measure))
+        bpm = max(1e-6, float(self.bpm))
+        beats = max(1, int(self.beats_per_measure))
+        return float(self.measures) * (60.0 / bpm) * beats
+
+    def build_divisions(self) -> List[float]:
+        """Uniform N, or sandboxed exec of user `divisions(total)`,
+        normalized to sum == total (grid_audio_app.py:196-213)."""
+        total = self.total_duration()
+        if total <= 0:
+            return []
+        if self.division_mode == "python":
+            glb = {"__builtins__": {"range": range, "len": len, "sum": sum,
+                                    "min": min, "max": max, "abs": abs,
+                                    "float": float, "int": int}}
+            loc: Dict[str, Any] = {}
+            exec(self.python_code, glb, loc)
+            if "divisions" not in loc:
+                raise RuntimeError(
+                    "Python divisions code must define: divisions(total)")
+            out = [float(x) for x in loc["divisions"](total)]
+            s = sum(out)
+            if s <= 0:
+                return []
+            return [x * (total / s) for x in out]
+        return divisions_uniform(total, self.uniform_n)
+
+    def ensure_cells(self, n: int):
+        n = max(0, int(n))
+        if len(self.cells) < n:
+            self.cells.extend(CellSource() for _ in range(n - len(self.cells)))
+        elif len(self.cells) > n:
+            self.cells = self.cells[:n]
+
+
+@dataclass
+class MasterClock:
+    mode: str = "auto"   # "auto" | "fixed_seconds"
+    fixed_seconds: float = 16.0
+
+    def duration(self, tracks: List[Track]) -> float:
+        if self.mode == "fixed_seconds":
+            return max(0.01, float(self.fixed_seconds))
+        m = 0.0
+        for t in tracks:
+            m = max(m, max(0.0, float(t.start_offset_seconds))
+                    + max(0.0, t.total_duration()))
+        return max(0.01, m)
+
+
+@dataclass
+class GridProject:
+    tracks: List[Track] = field(default_factory=list)
+    master: MasterClock = field(default_factory=MasterClock)
+    sample_rate: int = 44100
+    normalize: bool = False        # export-time 0.98 peak normalize
+
+
+# ---------------------------------------------------------------------------
+# Restart events (grid_audio_app.py:601-706)
+# ---------------------------------------------------------------------------
+
+MAX_EVENTS = 20000
+MAX_OCCURRENCES = 10000
+
+
+def collect_restart_events(project: GridProject,
+                           master_dur: float) -> List[set]:
+    """For every track x pattern-occurrence x py-cell with event(), build the
+    context dict, call it, and resolve `{"restart_tracks": ..., "delay": s}`
+    into per-track sets of master-sample reset indices.
+
+    NOTE: the reference's occurrence count uses `math.ceil` without importing
+    math (grid_audio_app.py:630 -> NameError whenever loop_to_master is on);
+    this implementation fixes the bug instead of reproducing it."""
+    tracks = project.tracks
+    sr = project.sample_rate
+    n_tracks = len(tracks)
+    restarts: List[set] = [set() for _ in range(n_tracks)]
+    events_count = 0
+    name_map = {t.name: i for i, t in enumerate(tracks)}
+
+    for src_ti, t in enumerate(tracks):
+        divs = t.build_divisions()
+        if not divs:
+            continue
+        t.ensure_cells(len(divs))
+        pat_dur = float(sum(divs))
+        if pat_dur <= 1e-9:
+            continue
+        starts = np.cumsum([0.0] + divs[:-1])
+        start0 = float(t.start_offset_seconds)
+        if t.loop_to_master:
+            occs = int(math.ceil(max(0.0, master_dur - start0)
+                                 / pat_dur)) + 1
+        else:
+            occs = 1
+        occs = max(0, min(occs, MAX_OCCURRENCES))
+
+        for occ in range(occs):
+            occ_start = start0 + occ * pat_dur
+            if occ_start > master_dur:
+                break
+            for ci, (cell, cs) in enumerate(zip(t.cells, starts)):
+                if cell.kind != "py" or not cell.path:
+                    continue
+                try:
+                    mod = load_py_module(cell.path)
+                except Exception:
+                    continue     # plugin errors isolated per cell (:644-645)
+                if mod.event is None:
+                    continue
+                master_time = occ_start + float(cs)
+                if master_time < 0.0 or master_time > master_dur:
+                    continue
+                ctx = {
+                    "track_index": src_ti,
+                    "track_name": t.name,
+                    "cell_index": ci,
+                    "cells_total": len(divs),
+                    "cell_start": float(cs),
+                    "cell_duration": float(divs[ci]),
+                    "track_pattern_duration": float(pat_dur),
+                    "track_offset": float(t.start_offset_seconds),
+                    "track_loop_to_master": bool(t.loop_to_master),
+                    "track_sync_points_master":
+                        parse_float_list(t.sync_points_text),
+                    "master_time": float(master_time),
+                    "master_duration": float(master_dur),
+                    "tracks": [{"index": i, "name": tt.name}
+                               for i, tt in enumerate(tracks)],
+                }
+                try:
+                    ev = mod.event(ctx)
+                except Exception:
+                    continue     # swallowed per event-cell (:670-672)
+                if not isinstance(ev, dict):
+                    continue
+                targets = ev.get("restart_tracks", [])
+                if targets == "all":
+                    target_idx = list(range(n_tracks))
+                elif targets == "all_except_self":
+                    target_idx = [i for i in range(n_tracks) if i != src_ti]
+                else:
+                    target_idx = []
+                    if isinstance(targets, (list, tuple)):
+                        for it in targets:
+                            if isinstance(it, int) and 0 <= it < n_tracks:
+                                target_idx.append(it)
+                            elif isinstance(it, str) and it in name_map:
+                                target_idx.append(name_map[it])
+                try:
+                    delay = float(ev.get("delay", 0.0) or 0.0)
+                except Exception:
+                    delay = 0.0
+                sidx = int(round((master_time + delay) * sr))
+                if 0 <= sidx < int(round(master_dur * sr)) + 1:
+                    for ti in target_idx:
+                        restarts[ti].add(sidx)
+                    events_count += 1
+                    if events_count >= MAX_EVENTS:
+                        return restarts
+    return restarts
+
+
+# ---------------------------------------------------------------------------
+# Cell + pattern rendering (host: user scripts / wav files)
+# ---------------------------------------------------------------------------
+
+def render_cell_audio(cell: CellSource, sr: int, duration: float,
+                      context: Dict[str, Any]) -> np.ndarray:
+    """(grid_audio_app.py:816-837) — event-only scripts return silence."""
+    duration = max(0.0, float(duration))
+    if duration <= 0:
+        return np.zeros(0, np.float32)
+    if cell.kind == "wav":
+        x, in_sr = audio_io.load_wav_mono(cell.path)
+        x = audio_io.resample_to_rate(x, in_sr, sr)
+        return audio_io.fit_to_duration(x, sr, duration)
+    if cell.kind == "py":
+        mod = load_py_module(cell.path)
+        if mod.generate is None:
+            return np.zeros(int(round(duration * sr)), np.float32)
+        try:
+            import inspect
+            if len(inspect.signature(mod.generate).parameters) == 3:
+                x = mod.generate(sr, duration, context)
+            else:
+                x = mod.generate(sr, duration)
+        except TypeError:
+            x = mod.generate(sr, duration)
+        x = audio_io.to_mono(np.asarray(x, np.float32))
+        return audio_io.fit_to_duration(x, sr, duration)
+    return np.zeros(int(round(duration * sr)), np.float32)
+
+
+def render_track_pattern(project: GridProject, ti: int, t: Track,
+                         divs: List[float], pat_dur: float,
+                         sync_pts_master: List[float]) -> np.ndarray:
+    """Sum cells at cumulative-start offsets, clip +-1
+    (grid_audio_app.py:758-784)."""
+    sr = project.sample_rate
+    pat_n = max(1, int(round(pat_dur * sr)))
+    pat = np.zeros(pat_n, np.float32)
+    starts = np.cumsum([0.0] + divs[:-1])
+    for ci, (cell, dur, st) in enumerate(zip(t.cells, divs, starts)):
+        if cell.kind == "empty":
+            continue
+        start_samp = int(round(float(st) * sr))
+        ctx = {
+            "track_index": ti,
+            "track_name": t.name,
+            "cell_index": ci,
+            "cells_total": len(divs),
+            "cell_start": float(st),
+            "cell_duration": float(dur),
+            "track_pattern_duration": float(pat_dur),
+            "track_offset": float(t.start_offset_seconds),
+            "track_loop_to_master": bool(t.loop_to_master),
+            "track_sync_points_master": list(sync_pts_master),
+        }
+        seg = render_cell_audio(cell, sr, float(dur), ctx)
+        end_samp = min(pat_n, start_samp + len(seg))
+        if end_samp > start_samp:
+            pat[start_samp:end_samp] += seg[:end_samp - start_samp]
+    return np.clip(pat, -1.0, 1.0).astype(np.float32, copy=False)
+
+
+# ---------------------------------------------------------------------------
+# Placement: segmented-cumsum phase accumulator (grid_audio_app.py:786-814)
+# ---------------------------------------------------------------------------
+
+def placement_indices(n_total: int, pat_n: int, start_offset_seconds: float,
+                      sr: int, loop_to_master: bool,
+                      speed: Optional[np.ndarray], reset_samples: set):
+    """Vectorized twin of the reference's per-sample loop: returns
+    (idx i64[n_total], valid bool[n_total]) such that
+    out[i] = pat[idx[i]] where valid — exact f64 position integration,
+    resets via segmented cumulative sums."""
+    start_idx = int(round(start_offset_seconds * sr))
+    i = np.arange(n_total, dtype=np.int64)
+
+    # increments: speed[i] (or 1.0), accumulated only where local >= 0
+    if speed is None:
+        inc = np.ones(n_total, np.float64)
+    else:
+        inc = np.ones(n_total, np.float64)
+        m = min(n_total, len(speed))
+        inc[:m] = np.asarray(speed[:m], np.float64)
+    inc_eff = np.where(i - start_idx >= 0, inc, 0.0)
+    C = np.concatenate([[0.0], np.cumsum(inc_eff)])    # C[i] = sum inc[<i]
+
+    # initial phase for negative offsets (:792-798)
+    pre_phase = 0.0
+    if start_idx < 0:
+        pre = -start_idx
+        if speed is None:
+            pre_phase = float(pre)
+        else:
+            pre_phase = float(np.sum(np.asarray(
+                speed[: min(pre, len(speed))], np.float64)))
+
+    resets = np.asarray(sorted(r for r in reset_samples
+                               if 0 <= r < n_total), np.int64)
+    if resets.size:
+        k = np.searchsorted(resets, i, side="right") - 1
+        has_reset = k >= 0
+        last_reset = np.where(has_reset, resets[np.clip(k, 0, None)], 0)
+        base = np.where(has_reset, C[last_reset], 0.0)
+        phase = C[i] - base + np.where(has_reset, 0.0, pre_phase)
+    else:
+        phase = C[i] + pre_phase
+
+    local = i - start_idx
+    valid = local >= 0
+    if loop_to_master:
+        idx = phase.astype(np.int64) % pat_n
+    else:
+        idx = phase.astype(np.int64)
+        # break conditions: local >= pat_n breaks BEFORE reading i;
+        # phase+inc >= pat_n breaks AFTER reading i (:799-814)
+        stop_before = local >= pat_n
+        stop_after = (phase + inc_eff >= pat_n) & valid
+        b1 = int(np.argmax(stop_before)) if stop_before.any() else n_total
+        b2 = (int(np.argmax(stop_after)) + 1) if stop_after.any() else n_total
+        valid = valid & (i < min(b1, b2))
+        valid = valid & (idx >= 0) & (idx < pat_n)
+    idx = np.clip(idx, 0, pat_n - 1)
+    return idx, valid
+
+
+@partial(jax.jit, donate_argnums=())
+def _mix_kernel(flat_patterns, idx, valid, gains):
+    """Device mixdown: gather each track's placed samples from the flat
+    pattern bank, apply gain, sum, clip +-1 (grid_audio_app.py:745-756)."""
+    placed = jnp.where(valid, flat_patterns[idx], 0.0)     # [T, N]
+    mix = jnp.sum(placed * gains[:, None], axis=0)
+    return jnp.clip(mix, -1.0, 1.0)
+
+
+def render_mixdown(project: GridProject,
+                   return_tracks: bool = False):
+    """Full mixdown (grid_audio_app.py:708-756): restart pre-pass ->
+    per-track pattern -> mod-speed envelope -> reset-aware placement ->
+    gain -> sum -> clip (+ optional 0.98 peak normalize)."""
+    sr = project.sample_rate
+    master_dur = project.master.duration(project.tracks)
+    n_total = int(round(master_dur * sr))
+
+    restarts = collect_restart_events(project, master_dur)
+
+    pats: List[np.ndarray] = []
+    idxs: List[np.ndarray] = []
+    valids: List[np.ndarray] = []
+    gains: List[float] = []
+    placed_tracks: List[np.ndarray] = []
+
+    for ti, t in enumerate(project.tracks):
+        divs = t.build_divisions()
+        if not divs:
+            placed_tracks.append(np.zeros(n_total, np.float32))
+            continue
+        t.ensure_cells(len(divs))
+        pat_dur = float(sum(divs))
+        if pat_dur <= 1e-9:
+            placed_tracks.append(np.zeros(n_total, np.float32))
+            continue
+        sync_pts = parse_float_list(t.sync_points_text)
+        pat = render_track_pattern(project, ti, t, divs, pat_dur, sync_pts)
+
+        speed = None
+        if (t.mod_source_index >= 0 and t.mod_amount > 0
+                and t.mod_source_index < ti):
+            src_audio = placed_tracks[t.mod_source_index]
+            win = int(round(max(0.0, t.mod_smoothing_ms) * 0.001 * sr))
+            env = rms_envelope(src_audio, max(1, win))
+            m = float(np.max(env)) if len(env) else 0.0
+            if m > 1e-12:
+                env = (env / m).astype(np.float32)
+                speed = np.clip(1.0 + float(t.mod_amount) * env,
+                                0.25, 4.0).astype(np.float32)
+
+        reset = set(int(round(p * sr)) for p in sync_pts if p >= 0.0)
+        reset |= restarts[ti]
+
+        idx, valid = placement_indices(
+            n_total, len(pat), t.start_offset_seconds, sr,
+            bool(t.loop_to_master), speed, reset)
+        gain_lin = float(10.0 ** (float(t.gain_db) / 20.0))
+
+        pats.append(pat)
+        idxs.append(idx)
+        valids.append(valid)
+        gains.append(gain_lin)
+        # host copy of placed track for downstream mod sources
+        placed = np.where(valid, pat[idx], 0.0).astype(np.float32) * gain_lin
+        placed_tracks.append(placed)
+
+    if not pats:
+        mix = np.zeros(n_total, np.float32)
+    else:
+        bases = np.cumsum([0] + [len(p) for p in pats[:-1]])
+        flat = np.concatenate(pats).astype(np.float32)
+        idx_m = np.stack([b + ix for b, ix in zip(bases, idxs)])
+        valid_m = np.stack(valids)
+        mix = np.asarray(_mix_kernel(jnp.asarray(flat),
+                                     jnp.asarray(idx_m, jnp.int32),
+                                     jnp.asarray(valid_m),
+                                     jnp.asarray(gains, jnp.float32)))
+
+    if project.normalize:
+        peak = float(np.max(np.abs(mix))) if mix.size else 0.0
+        if peak > 1e-12:
+            mix = (mix * (0.98 / peak)).astype(np.float32)
+
+    if return_tracks:
+        return mix, placed_tracks
+    return mix
+
+
+def export_wav(project: GridProject, path: str) -> np.ndarray:
+    """Render + save (grid_audio_app.py:579-598)."""
+    mix = render_mixdown(project)
+    audio_io.write_wav(path, mix, project.sample_rate)
+    return mix

@@ -636,10 +636,10 @@ def _fb_imprint_scan(grains, ns, carry, cfg: ChainCfg):
     return carry, out
 
 
-@functools.lru_cache(maxsize=32)
-def _chunk_fn(cfg: ChainCfg):
-    """Jitted renderer for one chunk of events: vmapped grain chain ->
-    (optional) feedback scan -> overlap-add scatter into the output."""
+def chunk_body(cfg: ChainCfg):
+    """Un-jitted renderer for one chunk of events: vmapped grain chain ->
+    (optional) feedback scan -> overlap-add scatter into the output.
+    (jit-wrapped by _chunk_fn; exposed for the compile-check entry point.)"""
 
     def run(evs, carry, out):
         grains = jax.vmap(lambda e: _one_grain(e, cfg))(evs)
@@ -657,7 +657,12 @@ def _chunk_fn(cfg: ChainCfg):
             val.reshape(-1), mode="drop")
         return carry, grains[-1], out
 
-    return jax.jit(run, donate_argnums=(2,))
+    return run
+
+
+@functools.lru_cache(maxsize=32)
+def _chunk_fn(cfg: ChainCfg):
+    return jax.jit(chunk_body(cfg), donate_argnums=(2,))
 
 
 _EV_CHUNK_KEYS = ("seed", "n", "gen_sr", "inv_gen_sr", "amp", "offset",

@@ -1,0 +1,165 @@
+"""Benchmark harness — BASELINE.json configs on the current JAX device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+metric = geometric-mean realtime factor (audio-seconds rendered per wall
+second per chip) across the scored configs; baseline target = 1000x realtime
+stereo 48 kHz per chip (BASELINE.md).  Per-config RTFs are included as extra
+keys; failures are reported, not fatal.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _time_best(fn, repeats=3):
+    """Best wall-clock of `repeats` timed runs after one warmup/compile."""
+    fn()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _test_audio(sr, seconds, seed=7):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    x = (0.5 * np.sin(2 * np.pi * 220 * t)
+         + 0.3 * np.sin(2 * np.pi * 933 * t + 0.5)
+         + 0.1 * rng.standard_normal(t.size))
+    return (x / np.max(np.abs(x))).astype(np.float32)
+
+
+def bench_tape():
+    """Config 1: chopped varispeed render, mixed speeds fwd/rev,
+    duration-preserving retime (BASELINE.json config 1)."""
+    from audio_suite_tpu.models import tape
+
+    sr = 48000
+    seconds = 20.0
+    audio = _test_audio(sr, seconds)
+    n = len(audio)
+    markers = [int(n * f) for f in (0.12, 0.3, 0.45, 0.6, 0.8)]
+    params = tape.TapeParams(
+        sample_rate=sr, markers=markers,
+        section_speeds=[1.0, 2.0, 0.5, 4.0, 0.25, 1.5],
+        section_reverse=[False, True, False, True, False, False],
+        tape_age=60, enable_splice_fx=True, anticlick_enabled=True,
+        inertia_enabled=True, inertia_amount=40)
+    params.section_speeds = tape.fit_to_target_time(params, n, seconds)
+    frames = tape.section_render_length(params, n)
+
+    out = {}
+
+    def run():
+        out["y"] = tape.render_tape(audio, params, frames)
+
+    wall = _time_best(run)
+    return (frames / sr) / wall
+
+
+def bench_scrub():
+    """Config 2: multi-head gestural scrub over a scripted trace."""
+    from audio_suite_tpu.models import scrub
+
+    sr = 48000
+    audio = _test_audio(sr, 10.0)
+    seconds = 30.0
+    blocks = int(seconds * sr / scrub.BLOCK_SIZE)
+    cfg = scrub.ScrubConfig(sample_rate=sr, head_count=3)
+    trace = scrub.scripted_gesture_trace(
+        blocks, sr, drag_events=[(2.0, 8.0, 3.0), (10.0, -14.0, 4.0),
+                                 (20.0, 4.0, 5.0)],
+        base_speed=0.5, jumps=[(15.0, 1000.0)])
+    out = {}
+
+    def run():
+        out["y"] = scrub.render_scrub(audio, cfg, trace)
+
+    wall = _time_best(run)
+    return (blocks * scrub.BLOCK_SIZE / sr) / wall
+
+
+def bench_microsound():
+    """Config 3: high-rate band-limited transient field, x100 time unfold,
+    x4 spectral stretch, IR convolution."""
+    from audio_suite_tpu.models import microsound as ms
+
+    sr = 192000
+    seconds = 4.0
+    rng = np.random.default_rng(11)
+    ir = (rng.standard_normal(8192) * np.exp(-np.arange(8192) / 800.0)) \
+        .astype(np.float32)
+    p = ms.MicrosoundParams.from_dict(dict(
+        base_sr=sr, out_dur_s=seconds, time_unfold=100.0,
+        gen_mode="Noise burst", micro_ms=1.0, grains_per_sec=60.0,
+        max_grains=400, partial_stretch=4.0, bandlimit_on=True,
+        bandlimit_out_hz=18000.0, bandlimit_roll_hz=2500.0,
+        er_cloud_on=True, space_ir_on=True, stereo_on=True,
+        bp_density="", bp_unfold="", bp_cutoff="", bp_stretch="", seed=5))
+    out = {}
+
+    def run():
+        out["y"], _ = ms.render(p, ir_audio=ir)
+
+    wall = _time_best(run, repeats=2)
+    return seconds / wall
+
+
+def bench_patternlab():
+    """Config 4: batch render of algorithmic patterns through the vmapped
+    FM+PSG voice bank."""
+    from audio_suite_tpu.models import patternlab as pl
+
+    cfg = pl.RenderConfig(sample_rate=44100, seconds=8.0, bpm=128, seed=9)
+    events = []
+    for gen in pl.list_generators():
+        if gen == "Python Script":
+            continue
+        events.extend(pl.generate(gen, cfg))
+    out = {}
+
+    def run():
+        out["y"], _ = pl.render(events, cfg)
+
+    wall = _time_best(run, repeats=2)
+    return cfg.seconds / wall
+
+
+def main():
+    results = {}
+    failures = {}
+    for name, fn in [("tape", bench_tape), ("scrub", bench_scrub),
+                     ("microsound", bench_microsound),
+                     ("patternlab", bench_patternlab)]:
+        try:
+            results[name] = fn()
+        except Exception as e:  # report, don't die
+            failures[name] = f"{type(e).__name__}: {e}"
+            print(f"[bench] {name} FAILED: {failures[name]}",
+                  file=sys.stderr)
+
+    if results:
+        logs = [np.log(max(1e-9, v)) for v in results.values()]
+        geomean = float(np.exp(np.mean(logs)))
+    else:
+        geomean = 0.0
+
+    line = {
+        "metric": "rtf_geomean",
+        "value": round(geomean, 2),
+        "unit": "audio_sec/sec/chip",
+        "vs_baseline": round(geomean / 1000.0, 4),
+    }
+    for k, v in results.items():
+        line[f"rtf_{k}"] = round(v, 2)
+    if failures:
+        line["failures"] = failures
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()
