@@ -501,3 +501,51 @@ def export_wav(project: GridProject, path: str) -> np.ndarray:
     mix = render_mixdown(project)
     audio_io.write_wav(path, mix, project.sample_rate)
     return mix
+
+
+# ---------------------------------------------------------------------------
+# Project JSON I/O (the framework's config-file replacement for the UI)
+# ---------------------------------------------------------------------------
+
+def project_to_dict(project: GridProject) -> dict:
+    import dataclasses
+    return {
+        "sample_rate": project.sample_rate,
+        "normalize": project.normalize,
+        "master": {"mode": project.master.mode,
+                   "fixed_seconds": project.master.fixed_seconds},
+        "tracks": [
+            {**{k: v for k, v in dataclasses.asdict(t).items()
+                if k != "cells"},
+             "cells": [{"kind": c.kind, "path": c.path} for c in t.cells]}
+            for t in project.tracks],
+    }
+
+
+def project_from_dict(d: dict) -> GridProject:
+    tracks = []
+    for td in d.get("tracks", []):
+        cells = [CellSource(c.get("kind", "empty"), c.get("path", ""))
+                 for c in td.get("cells", [])]
+        kw = {k: v for k, v in td.items()
+              if k in Track.__dataclass_fields__ and k != "cells"}
+        tracks.append(Track(cells=cells, **kw))
+    m = d.get("master", {})
+    return GridProject(
+        tracks=tracks,
+        master=MasterClock(m.get("mode", "auto"),
+                           m.get("fixed_seconds", 16.0)),
+        sample_rate=int(d.get("sample_rate", 44100)),
+        normalize=bool(d.get("normalize", False)))
+
+
+def load_project(path: str) -> GridProject:
+    import json
+    with open(path) as f:
+        return project_from_dict(json.load(f))
+
+
+def save_project(project: GridProject, path: str):
+    import json
+    with open(path, "w") as f:
+        json.dump(project_to_dict(project), f, indent=2)

@@ -802,3 +802,52 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
     if progress:
         progress(100, "Done.")
     return np.asarray(stereo), meta
+
+
+def batch_render(params: MicrosoundParams, out_dir: str,
+                 seeds=None, unfolds=None, stretches=None,
+                 ir_audio=None, img_gray=None, manifest_path=None,
+                 progress=None) -> list[str]:
+    """Batch render over a seeds x unfolds x stretches grid
+    (main_v2.py:1524-1596), with resumable manifests (SURVEY.md §5
+    checkpoint/resume).  Returns the written WAV paths."""
+    import os
+
+    from ..parallel.batch import BatchManifest
+    from ..utils import io as audio_io
+
+    seeds = list(seeds) if seeds else [params.seed]
+    unfolds = list(unfolds) if unfolds else [params.time_unfold]
+    stretches = list(stretches) if stretches else [params.partial_stretch]
+
+    os.makedirs(out_dir, exist_ok=True)
+    jobs = [(s, u, st) for s in seeds for u in unfolds for st in stretches]
+    job_ids = [f"seed{s}_unfold{u:g}_stretch{st:g}" for s, u, st in jobs]
+    manifest = None
+    if manifest_path:
+        manifest = BatchManifest.open_or_create(manifest_path, job_ids)
+
+    written = []
+    for k, ((s, u, st), jid) in enumerate(zip(jobs, job_ids)):
+        path = os.path.join(out_dir, jid + ".wav")
+        if manifest and manifest.jobs.get(jid, {}).get("status") == "done":
+            written.append(path)
+            continue
+        p = MicrosoundParams.from_dict(params.to_dict())
+        p.seed = int(s)
+        p.time_unfold = float(u)
+        p.partial_stretch = float(st)
+        try:
+            stereo, meta = render(p, ir_audio=ir_audio, img_gray=img_gray)
+            audio_io.write_wav(path, stereo, p.base_sr)
+            written.append(path)
+            if manifest:
+                manifest.mark(jid, "done", events=meta["events"])
+        except Exception as e:     # per-item error isolation (SURVEY.md §5)
+            if manifest:
+                manifest.mark(jid, "failed", error=f"{type(e).__name__}: {e}")
+            else:
+                raise
+        if progress:
+            progress(int(100 * (k + 1) / len(jobs)), jid)
+    return written

@@ -221,3 +221,38 @@ def gather_linear_wrap_np(audio, whole, frac):
     s0 = audio[pw]
     s1 = audio[i1]
     return (np.float32(1.0) - fr) * s0 + fr * s1
+
+
+# ----------------------------------------------------------------------------
+# Significand rounding (FMA-contraction-proof multiplies)
+# ----------------------------------------------------------------------------
+#
+# XLA freely contracts ``a*b + c`` into a single-rounded FMA, and neither
+# optimization_barrier nor bitcast round-trips stop it (verified empirically
+# on the CPU backend), so any float multiply feeding an add can round
+# differently under jit than in a NumPy oracle.  The cure: round both
+# multiply operands to <= 12-bit significands first.  Then the product has
+# <= 24 significant bits, is EXACTLY representable in f32, and fused
+# vs. unfused evaluation is bit-identical on every backend.  (Same
+# quantized-semantics discipline as the tape position math above; the
+# <= 2**-12 relative perturbation is documented framework semantics.)
+
+_SIG_ROUND = np.int32(0x0800)
+_SIG_MASK = np.int32(~0x0FFF)
+
+
+def round_sig12(x):
+    """Round f32 significand to 12 bits (round-half-up in mantissa space,
+    carrying into the exponent naturally).  Integer bit ops — XLA cannot
+    re-associate or contract through them."""
+    x = jnp.asarray(x, jnp.float32)
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    b = (b + _SIG_ROUND) & _SIG_MASK
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+
+def round_sig12_np(x):
+    x = np.asarray(x, np.float32)
+    b = x.view(np.int32)
+    b = ((b + _SIG_ROUND) & _SIG_MASK).astype(np.int32)
+    return b.view(np.float32)

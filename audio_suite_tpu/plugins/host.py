@@ -117,3 +117,41 @@ def load_script_generator(path: Path, entry: str = "generate") -> Callable[..., 
         raise AttributeError(f"Script '{path.name}' has no callable '{entry}'")
     _CACHE[key] = fn
     return fn
+
+
+# ----------------------------------------------------------------------------
+# Pattern Lab reference-example compatibility
+# ----------------------------------------------------------------------------
+
+def ensure_pattern_lab_examples_importable():
+    """The reference's Pattern Lab example scripts do
+    ``from examples._common import NoteEvent, RenderConfig, SCALES, ...``
+    but ``examples/_common.py`` is missing from the repo (SURVEY.md §2.3).
+    This registers a synthetic ``examples._common`` module backed by this
+    framework's event model and music math, so the reference examples run
+    unchanged."""
+    import types
+
+    if "examples._common" in sys.modules:
+        return sys.modules["examples._common"]
+
+    from ..events.notes import NoteEvent, RenderConfig
+    from ..models.patternlab import SCALES
+    from ..utils import music
+
+    common = types.ModuleType("examples._common")
+    common.NoteEvent = NoteEvent
+    common.RenderConfig = RenderConfig
+    common.SCALES = dict(SCALES)
+    common.beat_to_sec = lambda bpm, beats: float(beats) * 60.0 / float(bpm)
+    common.primes_upto = music.primes_upto
+    common.pythagorean_ratio = music.pythagorean_ratio
+
+    pkg = sys.modules.get("examples")
+    if pkg is None:
+        pkg = types.ModuleType("examples")
+        pkg.__path__ = []      # mark as package
+        sys.modules["examples"] = pkg
+    pkg._common = common
+    sys.modules["examples._common"] = common
+    return common

@@ -129,12 +129,91 @@ def bench_patternlab():
     return cfg.seconds / wall
 
 
+def bench_grid_forestfire():
+    """Config 5: multi-track grid mixdown + Forest Fire CA emitting
+    OSC-style threshold event streams.  RTF counts the mixdown audio; the CA
+    must sustain >= its 30 Hz reference tick rate on the same wall clock."""
+    import numpy as np
+    from audio_suite_tpu.models import grid, forestfire as ff
+    from audio_suite_tpu.events import rules as R
+
+    sr = 48000
+    seconds = 16.0
+    rng = np.random.default_rng(4)
+
+    tracks = []
+    for ti in range(4):
+        t = grid.Track(name=f"t{ti}", mode="duration",
+                       duration_seconds=2.0 + ti, uniform_n=8,
+                       loop_to_master=True, gain_db=-3.0 * ti,
+                       sync_points_text="4.0, 9.5" if ti else "")
+        if ti >= 1:
+            t.mod_source_index = ti - 1
+            t.mod_amount = 0.6
+        tracks.append(t)
+    project = grid.GridProject(
+        tracks=tracks, master=grid.MasterClock("fixed_seconds", seconds),
+        sample_rate=sr)
+    # synthetic patterns via py cells would need files; use wav-free track
+    # patterns by injecting pattern audio through placement directly
+    pats = [rng.uniform(-0.5, 0.5,
+                        int(t.total_duration() * sr)).astype(np.float32)
+            for t in tracks]
+
+    model = ff.ForestFireModel(ff.ModelParams(), seed=2)
+    model.ignite_at(110, 80, radius=4)
+    eng = R.WatchEngine(now_fn=lambda: 0.0)
+    eng.set_rules([R.ThresholdRule(metric_key="burning", op=">",
+                                   threshold=50, edge="rising",
+                                   cooldown_s=0.0)])
+    rec = R.OSCRecorder()
+    n_ca_steps = int(seconds * 30)   # reference tick rate over same window
+
+    out = {}
+
+    def run():
+        import jax.numpy as jnp
+        idxs, valids, gains = [], [], []
+        placed = []
+        for ti, (t, pat) in enumerate(zip(tracks, pats)):
+            speed = None
+            if t.mod_source_index >= 0 and placed:
+                env = grid.rms_envelope(placed[t.mod_source_index],
+                                        int(0.05 * sr))
+                m = float(np.max(env)) or 1.0
+                speed = np.clip(1.0 + t.mod_amount * (env / m),
+                                0.25, 4.0).astype(np.float32)
+            resets = {int(p * sr) for p in
+                      grid.parse_float_list(t.sync_points_text)}
+            idx, valid = grid.placement_indices(
+                int(seconds * sr), len(pat), t.start_offset_seconds, sr,
+                True, speed, resets)
+            placed.append(np.where(valid, pat[idx], 0.0).astype(np.float32))
+            idxs.append(idx)
+            valids.append(valid)
+            gains.append(10.0 ** (t.gain_db / 20.0))
+        bases = np.cumsum([0] + [len(p) for p in pats[:-1]])
+        flat = np.concatenate(pats)
+        out["mix"] = np.asarray(grid._mix_kernel(
+            jnp.asarray(flat),
+            jnp.asarray(np.stack([b + i for b, i in zip(bases, idxs)]),
+                        jnp.int32),
+            jnp.asarray(np.stack(valids)),
+            jnp.asarray(gains, jnp.float32)))
+        stats = model.simulate(n_ca_steps)
+        eng.run_stream(ff.stats_rows_to_dicts(stats), rec.send)
+
+    wall = _time_best(run, repeats=2)
+    return seconds / wall
+
+
 def main():
     results = {}
     failures = {}
     for name, fn in [("tape", bench_tape), ("scrub", bench_scrub),
                      ("microsound", bench_microsound),
-                     ("patternlab", bench_patternlab)]:
+                     ("patternlab", bench_patternlab),
+                     ("grid_forestfire", bench_grid_forestfire)]:
         try:
             results[name] = fn()
         except Exception as e:  # report, don't die
