@@ -28,7 +28,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import fixq
-from ..ops.varispeed import TapeConsts, tape_scan_render
+from ..ops.varispeed import (TapeConsts, tape_scan_render,
+                             tape_segment_render)
 from ..utils import io as audio_io
 
 
@@ -207,20 +208,33 @@ def build_tape_program(audio: np.ndarray, params: TapeParams, num_frames: int):
 
 
 def render_tape(audio: np.ndarray, params: TapeParams,
-                num_frames: Optional[int] = None) -> np.ndarray:
+                num_frames: Optional[int] = None,
+                engine: str = "segment") -> np.ndarray:
     """Offline render of `num_frames` output samples (default: one full
-    duration-preserving pass over the tape)."""
+    duration-preserving pass over the tape).
+
+    engine="segment" (default): host exact trajectory + one device gather
+    kernel — the TPU-viable path (the per-sample scan runs at only
+    ~0.2 Msteps/s on a TPU chip).  engine="scan": the sequential
+    reference-structured kernel, kept for cross-validation.  Both make
+    bit-identical discrete decisions (same fixed-point integers)."""
     n = len(audio)
     if num_frames is None:
         num_frames = section_render_length(params, n)
     prog = build_tape_program(audio, params, num_frames)
-    out, _ = tape_scan_render(
-        jnp.asarray(prog["audio"]), jnp.asarray(prog["mod_q"]),
-        jnp.asarray(prog["starts"]), jnp.asarray(prog["ends"]),
-        jnp.asarray(prog["speeds_q"]), jnp.asarray(prog["reverse"]),
-        jnp.asarray(prog["boundaries"]), jnp.asarray(prog["splice_env"]),
-        prog["consts"],
-    )
+    if engine == "segment":
+        out, _ = tape_segment_render(
+            prog["audio"], prog["mod_q"], prog["starts"], prog["ends"],
+            prog["speeds_q"], prog["reverse"], prog["boundaries"],
+            prog["splice_env"], prog["consts"])
+    else:
+        out, _ = tape_scan_render(
+            jnp.asarray(prog["audio"]), jnp.asarray(prog["mod_q"]),
+            jnp.asarray(prog["starts"]), jnp.asarray(prog["ends"]),
+            jnp.asarray(prog["speeds_q"]), jnp.asarray(prog["reverse"]),
+            jnp.asarray(prog["boundaries"]), jnp.asarray(prog["splice_env"]),
+            prog["consts"],
+        )
     return np.asarray(out)
 
 

@@ -47,8 +47,7 @@ def bench_tape():
         sample_rate=sr, markers=markers,
         section_speeds=[1.0, 2.0, 0.5, 4.0, 0.25, 1.5],
         section_reverse=[False, True, False, True, False, False],
-        tape_age=60, enable_splice_fx=True, anticlick_enabled=True,
-        inertia_enabled=True, inertia_amount=40)
+        tape_age=60, enable_splice_fx=True, anticlick_enabled=True)
     params.section_speeds = tape.fit_to_target_time(params, n, seconds)
     frames = tape.section_render_length(params, n)
 

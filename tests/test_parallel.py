@@ -1,0 +1,107 @@
+"""Multi-chip parallelism on the 8-virtual-device CPU mesh (SURVEY.md §4
+'multi-chip without a cluster'): dp-sharded batch renders, psum mixdown
+collective, batch manifests, and the driver entry points."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from audio_suite_tpu.parallel import batch as pb
+
+
+def require_devices(n=8):
+    if len(jax.devices()) < n:
+        pytest.skip(f"need {n} virtual devices, have {len(jax.devices())}")
+
+
+def test_mesh_shapes():
+    require_devices(8)
+    m1 = pb.make_mesh(8)
+    assert m1.devices.shape == (8,) and m1.axis_names == ("dp",)
+    m2 = pb.make_mesh(8, axis_names=("dp", "ev"))
+    assert int(np.prod(m2.devices.shape)) == 8
+    assert len(m2.devices.shape) == 2
+
+
+def test_batch_render_sharded_matches_single():
+    require_devices(8)
+    mesh = pb.make_mesh(8)
+
+    def kernel(seed_and_gain):
+        seed, gain = seed_and_gain[0], seed_and_gain[1]
+        i = jnp.arange(512, dtype=jnp.float32)
+        return gain * jnp.sin(i * (seed + 1.0) * 0.001)
+
+    args = jnp.stack([jnp.arange(16, dtype=jnp.float32),
+                      jnp.linspace(0.1, 1.0, 16, dtype=jnp.float32)], axis=1)
+    out_sharded = pb.batch_render(kernel, args, mesh=mesh)
+    out_single = pb.batch_render(kernel, args, mesh=None)
+    assert out_sharded.shape == (16, 512)
+    np.testing.assert_array_equal(out_sharded, out_single)
+
+
+def test_sharded_sum_collective():
+    require_devices(8)
+    mesh = pb.make_mesh(8)
+    rng = np.random.default_rng(0)
+    parts = rng.standard_normal((8, 1024)).astype(np.float32)
+    got = np.asarray(pb.sharded_sum(jnp.asarray(parts), mesh))
+    want = parts.sum(axis=0)
+    assert np.max(np.abs(got - want)) < 1e-5
+
+
+def test_batch_manifest_resume(tmp_path):
+    path = str(tmp_path / "manifest.json")
+    m = pb.BatchManifest.open_or_create(path, ["a", "b", "c"])
+    assert sorted(m.pending()) == ["a", "b", "c"]
+    m.mark("a", "done", rtf=12.0)
+    m.mark("b", "failed", error="boom")
+    m2 = pb.BatchManifest.load(path)
+    assert sorted(m2.pending()) == ["b", "c"]
+    # reopening with extra jobs keeps old state
+    m3 = pb.BatchManifest.open_or_create(path, ["a", "b", "c", "d"])
+    assert sorted(m3.pending()) == ["b", "c", "d"]
+    assert m3.jobs["a"]["rtf"] == 12.0
+
+
+def test_graft_entry_compiles():
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dryrun_multichip_8():
+    require_devices(8)
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_microsound_batch_render_manifest(tmp_path):
+    from audio_suite_tpu.models import microsound as ms
+
+    p = ms.MicrosoundParams.from_dict(dict(
+        base_sr=8000, out_dur_s=0.2, gen_mode="Gaussian click",
+        grains_per_sec=20.0, max_grains=8, er_cloud_on=False,
+        stereo_on=False, bp_density=""))
+    man = str(tmp_path / "m.json")
+    paths = ms.batch_render(p, str(tmp_path), seeds=[1, 2],
+                            stretches=[1.0, 1.5], manifest_path=man)
+    assert len(paths) == 4
+    assert all(os.path.exists(pth) for pth in paths)
+    m = pb.BatchManifest.load(man)
+    assert not m.pending()
+    # resume: nothing re-rendered (paths returned from manifest)
+    paths2 = ms.batch_render(p, str(tmp_path), seeds=[1, 2],
+                             stretches=[1.0, 1.5], manifest_path=man)
+    assert paths2 == paths

@@ -145,3 +145,52 @@ def test_section_render_length(audio):
                              section_reverse=[False, False])
     # half at 2x (n/4 out) + half at 0.5x (n out) = 1.25 n
     assert abs(tape.section_render_length(params, n) - 1.25 * n) < 2
+
+
+# ---------------------------------------------------------------------------
+# segment engine (parallel trajectory + gather) vs the sequential scan
+# ---------------------------------------------------------------------------
+
+def _seg_vs_scan(audio, params, frames):
+    a = tape.render_tape(audio, params, frames, engine="scan")
+    b = tape.render_tape(audio, params, frames, engine="segment")
+    return max_dev_dbfs(a, b)
+
+
+def test_segment_engine_matches_scan_plain(audio):
+    p = tape.TapeParams(markers=[], section_speeds=[1.0],
+                        section_reverse=[False])
+    assert _seg_vs_scan(audio, p, 24000) <= -120.0
+
+
+def test_segment_engine_matches_scan_full(audio):
+    n = len(audio)
+    p = tape.TapeParams(
+        markers=[n // 5, n // 2, (3 * n) // 4],
+        section_speeds=[1.0, 2.7, 0.31, 3.9],
+        section_reverse=[False, True, False, True],
+        tape_age=85, enable_splice_fx=True, anticlick_enabled=True,
+        anticlick_amount=70)
+    assert _seg_vs_scan(audio, p, 70000) <= -120.0
+
+
+def test_segment_engine_matches_scan_inertia(audio):
+    n = len(audio)
+    p = tape.TapeParams(
+        markers=[n // 3, (2 * n) // 3],
+        section_speeds=[0.5, 3.5, 1.0],
+        section_reverse=[False, False, True],
+        inertia_enabled=True, inertia_amount=80, current_speed=2.0,
+        tape_age=30)
+    assert _seg_vs_scan(audio, p, 70000) <= -120.0
+
+
+def test_segment_engine_matches_scan_inertia_strong(audio):
+    n = len(audio)
+    p = tape.TapeParams(
+        markers=[n // 2],
+        section_speeds=[4.0, 0.25],
+        section_reverse=[False, False],
+        inertia_enabled=True, inertia_amount=100, current_speed=0.25,
+        enable_splice_fx=True, anticlick_enabled=True)
+    assert _seg_vs_scan(audio, p, 100000) <= -120.0
