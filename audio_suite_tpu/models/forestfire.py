@@ -351,7 +351,8 @@ class ForestFireModel:
     # -- simulation --------------------------------------------------------
 
     def _carry(self):
-        return {k: jnp.asarray(v) for k, v in self._np.items()}
+        # NumPy state transfers bundled with the jitted simulate call
+        return dict(self._np)
 
     def simulate(self, n_steps: int) -> np.ndarray:
         """Run n_steps on device (lax.scan); returns stats [n_steps, 8]

@@ -481,10 +481,9 @@ def render_mixdown(project: GridProject,
         flat = np.concatenate(pats).astype(np.float32)
         idx_m = np.stack([b + ix for b, ix in zip(bases, idxs)])
         valid_m = np.stack(valids)
-        mix = np.asarray(_mix_kernel(jnp.asarray(flat),
-                                     jnp.asarray(idx_m, jnp.int32),
-                                     jnp.asarray(valid_m),
-                                     jnp.asarray(gains, jnp.float32)))
+        mix = np.asarray(_mix_kernel(flat, idx_m.astype(np.int32),
+                                     valid_m,
+                                     np.asarray(gains, np.float32)))
 
     if project.normalize:
         peak = float(np.max(np.abs(mix))) if mix.size else 0.0

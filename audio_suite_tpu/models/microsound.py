@@ -693,7 +693,10 @@ def _chunk_events(prog: dict, ec: int):
                 a = np.pad(a, pad, constant_values=fill)
                 if k == "gen_sr":
                     a[e - s:] = 48000.0
-            c[k] = jnp.asarray(a)
+            # stay NumPy: args to a jitted call are transferred bundled in
+            # one host->device roundtrip; per-array device_put costs a full
+            # ~26 ms tunnel roundtrip each
+            c[k] = a
         chunks.append(c)
     return chunks
 
@@ -744,7 +747,8 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
     p = params
     prog = build_program(p, ir_audio=ir_audio, img_gray=img_gray)
     out_n = prog["out_n"]
-    out = jnp.zeros(out_n + 1, jnp.float32)   # +1 = scatter drop slot
+    out = np.zeros(out_n + 1, np.float32)     # +1 = scatter drop slot
+    # (transferred bundled with the first chunk call)
 
     grain_last = None
     if prog["E"] > 0:
@@ -757,9 +761,9 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
         chunks = _chunk_events(prog, event_chunk)
         carry = None
         if cfg.fb_on or cfg.imprint_on:
-            carry = (jnp.zeros(L, jnp.float32), jnp.int32(0),
-                     jnp.bool_(False), jnp.zeros(L // 2 + 1, jnp.float32),
-                     jnp.bool_(False))
+            carry = (np.zeros(L, np.float32), np.int32(0),
+                     np.bool_(False), np.zeros(L // 2 + 1, np.float32),
+                     np.bool_(False))
         for ci, ch in enumerate(chunks):
             carry, grain_last, out = fn(ch, carry, out)
             if progress:
@@ -790,7 +794,7 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
                stereo_on=bool(p.stereo_on),
                stereo_width=float(p.stereo_width),
                sat_drive=float(p.sat_drive), peak=float(p.peak))
-    stereo = _fx_fn(fx)(out, jnp.asarray(er_kernel), jnp.asarray(ir_kernel))
+    stereo = _fx_fn(fx)(out, er_kernel, ir_kernel)
 
     meta = {
         "out_sr": int(p.base_sr),

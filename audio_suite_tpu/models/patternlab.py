@@ -397,20 +397,19 @@ class MegaDriveInspiredSynth:
         self._psg_tab = _psg_channel_tables(self.psg_channels, self.sr)
 
     def render(self, events, seconds: float, master_gain: float = 0.9) -> np.ndarray:
+        """One jit-compiled dispatch for the whole note batch: buckets are
+        resolved at trace time (static shapes), all NumPy inputs transfer
+        bundled with the single call — the per-op eager path costs a full
+        tunnel roundtrip (~26 ms) per primitive on remote TPUs."""
         cfg = RenderConfig(sample_rate=self.sr, seconds=seconds, seed=self.seed)
         batch = prepare_note_batch(events, cfg)
         n_total = batch["n_total"]
-        out = jnp.zeros(n_total, jnp.float32)
         if batch["count"] == 0:
-            y = np.tanh(np.asarray(out)) * np.float32(master_gain)
-            return y.astype(np.float32)
+            return (np.tanh(np.zeros(n_total, np.float32))
+                    * np.float32(master_gain)).astype(np.float32)
 
         orbit, base, pos, clen = synth_ops.lfsr_tables()
-        orbit_j = jnp.asarray(orbit)
-        base_j = jnp.asarray(base)
-        pos_j = jnp.asarray(pos)
-        clen_j = jnp.asarray(clen)
-
+        buckets = []          # (is_psg, L, count) static spec + args dict
         for is_psg in (False, True):
             sel = np.nonzero(batch["is_psg"] == is_psg)[0]
             if sel.size == 0:
@@ -421,54 +420,79 @@ class MegaDriveInspiredSynth:
                     sel[ns <= 256]
                 if m.size == 0:
                     continue
-                i_vec = jnp.arange(L, dtype=jnp.int32)
-                n_b = jnp.asarray(batch["n"][m])
-                vel_b = jnp.asarray(batch["vel"][m])
                 chan_b = batch["chan"][m]
-                hz_b = jnp.asarray(np.asarray(
-                    [music.midi_to_hz(x) for x in batch["midi"][m]], np.float32))
+                args = {
+                    "n": batch["n"][m],
+                    "vel": batch["vel"][m],
+                    "start": batch["start"][m],
+                }
                 if is_psg:
                     tab = self._psg_tab
-                    seeds = jnp.asarray(
-                        (self.seed + batch["k"][m]).astype(np.int32))
-                    f = jax.vmap(
-                        lambda n, hz, vel, duty, noi, A, D, R, s, lm1, sd:
-                        synth_ops.psg_note(
-                            i_vec, n, hz, vel, duty, noi, A, D, R, s, lm1,
-                            self._fade, jnp.float32(self._psg_lp), sd,
-                            orbit_j, base_j, pos_j, clen_j, self.sr))
-                    notes = f(n_b, hz_b, vel_b,
-                              jnp.asarray(tab["duty"][chan_b]),
-                              jnp.asarray(tab["noise"][chan_b]),
-                              jnp.asarray(tab["A"][chan_b]),
-                              jnp.asarray(tab["D"][chan_b]),
-                              jnp.asarray(tab["R"][chan_b]),
-                              jnp.asarray(tab["s"][chan_b]),
-                              jnp.asarray(tab["levels_m1"][chan_b]), seeds)
+                    args.update(
+                        hz=np.asarray([music.midi_to_hz(x)
+                                       for x in batch["midi"][m]], np.float32),
+                        seeds=(self.seed + batch["k"][m]).astype(np.int32),
+                        duty=tab["duty"][chan_b], noise=tab["noise"][chan_b],
+                        A=tab["A"][chan_b], D=tab["D"][chan_b],
+                        R=tab["R"][chan_b], s=tab["s"][chan_b],
+                        lm1=tab["levels_m1"][chan_b])
                 else:
                     tab = self._fm_tab
-                    cp = {k: jnp.asarray(tab[k][chan_b]) for k in tab
-                          if not k.startswith("_")}
-                    f_ops = jnp.asarray(fm_op_freqs(tab, chan_b,
-                                                    batch["midi"][m]))
-                    f = jax.vmap(
-                        lambda n, fo, vel, cpn:
-                        synth_ops.fm_note(
-                            i_vec, n, fo, vel, cpn, self._fade,
-                            jnp.float32(self._lp1), jnp.float32(self._lp2),
-                            jnp.float32(self._dac_m1), self.sr))
-                    notes = f(n_b, f_ops, vel_b, cp)
+                    args.update(
+                        f_ops=fm_op_freqs(tab, chan_b, batch["midi"][m]),
+                        cp={k: tab[k][chan_b] for k in tab
+                            if not k.startswith("_")})
+                buckets.append(((bool(is_psg), int(L), int(len(m))), args))
 
-                # overlap-add with tail clamp (app/renderer.py:113-131)
-                starts = jnp.asarray(batch["start"][m])
-                seg = jnp.minimum(n_b, n_total - starts)
-                idx = starts[:, None] + i_vec[None, :]
-                contrib = jnp.where(i_vec[None, :] < seg[:, None], notes, 0.0)
-                out = out.at[idx.reshape(-1)].add(
-                    contrib.reshape(-1), mode="drop")
-
-        y = jnp.tanh(out) * jnp.float32(master_gain)
+        spec = tuple(b[0] for b in buckets)
+        fn = _render_dispatch(self.sr, self._fade, float(self._lp1),
+                              float(self._lp2), float(self._psg_lp),
+                              float(self._dac_m1), n_total, spec)
+        y = fn([b[1] for b in buckets], np.float32(master_gain),
+               orbit, base, pos, clen)
         return np.asarray(y, np.float32)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _render_dispatch(sr: int, fade: int, lp1: float, lp2: float,
+                     psg_lp: float, dac_m1: float, n_total: int,
+                     spec: tuple):
+    """Jitted whole-batch renderer for a static bucket spec
+    ((is_psg, L, count), ...): every bucket's vmapped voice bank + the
+    overlap-add scatter + the tanh master bus, traced as ONE computation."""
+
+    def run(bucket_args, master_gain, orbit, base, pos, clen):
+        out = jnp.zeros(n_total, jnp.float32)
+        for (is_psg, L, _count), a in zip(spec, bucket_args):
+            i_vec = jnp.arange(L, dtype=jnp.int32)
+            if is_psg:
+                notes = jax.vmap(
+                    lambda n, hz, vel, duty, noi, A, D, R, s, lm1, sd:
+                    synth_ops.psg_note(
+                        i_vec, n, hz, vel, duty, noi, A, D, R, s, lm1,
+                        fade, jnp.float32(psg_lp), sd,
+                        orbit, base, pos, clen, sr))(
+                    a["n"], a["hz"], a["vel"], a["duty"], a["noise"],
+                    a["A"], a["D"], a["R"], a["s"], a["lm1"], a["seeds"])
+            else:
+                notes = jax.vmap(
+                    lambda n, fo, vel, cpn:
+                    synth_ops.fm_note(
+                        i_vec, n, fo, vel, cpn, fade, jnp.float32(lp1),
+                        jnp.float32(lp2), jnp.float32(dac_m1), sr))(
+                    a["n"], a["f_ops"], a["vel"], a["cp"])
+            # overlap-add with tail clamp (app/renderer.py:113-131)
+            seg = jnp.minimum(a["n"], n_total - a["start"])
+            idx = a["start"][:, None] + i_vec[None, :]
+            contrib = jnp.where(i_vec[None, :] < seg[:, None], notes, 0.0)
+            out = out.at[idx.reshape(-1)].add(contrib.reshape(-1),
+                                              mode="drop")
+        return jnp.tanh(out) * master_gain
+
+    return jax.jit(run)
 
 
 def render(events, cfg: RenderConfig,

@@ -244,12 +244,13 @@ def scrub_render_kernel(audio, inc_fix, reset, seg_bases_whole, seg_bases_frac,
 def render_scrub(audio: np.ndarray, cfg: ScrubConfig, trace: GestureTrace,
                  tape_pos0: float = 0.0, stereo: bool = False) -> np.ndarray:
     prog = build_scrub_program(audio, cfg, trace, tape_pos0)
+    # NumPy args transfer bundled with the single jit call (one tunnel
+    # roundtrip) — never device_put per array
     out = scrub_render_kernel(
-        jnp.asarray(prog["audio"]), jnp.asarray(prog["inc_fix"]),
-        jnp.asarray(prog["reset"]), jnp.asarray(prog["seg_bases_whole"]),
-        jnp.asarray(prog["seg_bases_frac"]), jnp.asarray(prog["env_blocks"]),
-        jnp.asarray(prog["head_off_whole"]), jnp.asarray(prog["head_off_frac"]),
-        jnp.float32(prog["head_gain"]), prog["block_size"],
+        prog["audio"], prog["inc_fix"], prog["reset"],
+        prog["seg_bases_whole"], prog["seg_bases_frac"], prog["env_blocks"],
+        prog["head_off_whole"], prog["head_off_frac"],
+        np.float32(prog["head_gain"]), prog["block_size"],
     )
     out = np.asarray(out)
     if stereo:

@@ -71,13 +71,24 @@ def bandpass_fft(x, sr, lo, hi, roll=0.0):
     return jnp.where(hi <= 0, jnp.zeros_like(y), y)
 
 
+def _lerp_uniform(y, pos):
+    """Linear interpolation of y (defined on the uniform grid 0..len-1) at
+    fractional positions `pos`, zero outside the grid.  The uniform grid
+    makes jnp.interp's per-query binary search (slow gathers on TPU)
+    unnecessary — direct index arithmetic instead."""
+    nf = y.shape[-1]
+    valid = (pos >= 0.0) & (pos <= jnp.float32(nf - 1))
+    i0 = jnp.clip(jnp.floor(pos), 0.0, jnp.float32(nf - 2))
+    t = pos - i0
+    i0 = i0.astype(jnp.int32)
+    v = y[i0] * (jnp.float32(1.0) - t) + y[i0 + 1] * t
+    return jnp.where(valid, v, 0.0)
+
+
 def _interp_spectrum(X, k_in):
     """np.interp of Re/Im at fractional bin positions, zero outside
     (main_v2.py:110-114)."""
-    k = jnp.arange(X.shape[-1], dtype=jnp.float32)
-    re = jnp.interp(k_in, k, X.real, left=0.0, right=0.0)
-    im = jnp.interp(k_in, k, X.imag, left=0.0, right=0.0)
-    return re + 1j * im
+    return _lerp_uniform(X.real, k_in) + 1j * _lerp_uniform(X.imag, k_in)
 
 
 def fft_warp_power(x, power):
@@ -146,7 +157,7 @@ def cepstral_warp(x, factor):
     cep = jnp.fft.irfft(logmag, n=L)
     t = jnp.arange(L, dtype=jnp.float32)
     t_in = t / jnp.maximum(1e-12, jnp.asarray(factor, jnp.float32))
-    cep2 = jnp.interp(t_in, t, cep, left=0.0, right=0.0)
+    cep2 = _lerp_uniform(cep, t_in)
     logmag2 = jnp.fft.rfft(cep2).real
     mag2 = jnp.exp(logmag2)
     Y = mag2 * jnp.exp(1j * jnp.angle(X))

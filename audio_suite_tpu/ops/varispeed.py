@@ -451,9 +451,7 @@ def tape_segment_render(audio, mod_q, starts, ends, speeds_q, reverse,
     differs only by elementwise f32 rounding (<= 1 ulp per sample)."""
     traj = tape_trajectory(audio.shape[0], mod_q, starts, ends, speeds_q,
                            reverse, boundaries, splice_env.shape[0], consts)
-    out = tape_gather_render(jnp.asarray(audio),
-                             jnp.asarray(traj["idx0"]),
-                             jnp.asarray(traj["fr"]),
-                             jnp.asarray(traj["ga"]),
-                             jnp.asarray(traj["gs"]))
+    # NumPy args transfer bundled with the single jit call
+    out = tape_gather_render(audio, traj["idx0"], traj["fr"],
+                             traj["ga"], traj["gs"])
     return out, traj["final"]
