@@ -169,7 +169,29 @@ def _roll_or8(m):
             | jnp.roll(jnp.roll(m, -1, 0), -1, 1))
 
 
-def step_device(carry, step_idx, params: ModelParams, seed: int):
+def terrain_static(params: ModelParams, elev):
+    """Step-invariant terrain fields (elev never changes): the gradient/
+    wind dot product, uphill slope boost and wind boost, hoisted out of the
+    per-step scan.  Same f32 values the oracle computes per step."""
+    p = params
+    qc = quantized_consts(p)
+    q12 = round_sig12
+    wx, wy = jnp.float32(qc["wx"]), jnp.float32(qc["wy"])
+    gy, gx = jnp.gradient(elev)
+    dot = q12(gx) * wx + q12(gy) * wy
+    uphill = jnp.clip(-dot, 0.0, 1.0)
+    slope_boost = jnp.float32(1.0) + jnp.float32(qc["slope"]) * q12(uphill)
+    wind_clip = jnp.clip(dot + jnp.float32(0.5), 0.0, 1.0)
+    wind_boost = jnp.float32(1.0) + q12(jnp.float32(qc["wind"])
+                                        * wind_clip) * jnp.float32(qc["c06"])
+    baseline = jnp.clip(jnp.float32(0.45)
+                        - jnp.float32(qc["c020"]) * elev, 0.05, 0.7)
+    return {"slope_boost": slope_boost, "wind_boost": wind_boost,
+            "baseline": baseline}
+
+
+def step_device(carry, step_idx, params: ModelParams, seed: int,
+                terrain: dict | None = None):
     """One CA step (model.py:121-222) on device.  Returns (carry', stats)."""
     p = params
     H, W = p.h, p.w
@@ -202,11 +224,13 @@ def step_device(carry, step_idx, params: ModelParams, seed: int):
                                   0.0, 1.0),
                          moisture)
 
+    if terrain is None:
+        terrain = terrain_static(p, elev)
+
     # moisture relax toward elevation baseline (all multiplies exact:
     # 12-bit x 12-bit significands)
-    baseline = jnp.clip(jnp.float32(0.45)
-                        - jnp.float32(qc["c020"]) * elev, 0.05, 0.7)
-    moisture = moisture + jnp.float32(qc["relax"]) * q12(baseline - moisture)
+    moisture = moisture + jnp.float32(qc["relax"]) \
+        * q12(terrain["baseline"] - moisture)
     moisture = jnp.clip(moisture, 0.0, 1.0)
 
     # burning consumes fuel -> ash
@@ -222,14 +246,9 @@ def step_device(carry, step_idx, params: ModelParams, seed: int):
     fire_n = _roll_or8(fire)
     trees = state == TREE
 
-    # terrain + wind bias
-    gy, gx = jnp.gradient(elev)
-    dot = q12(gx) * wx + q12(gy) * wy
-    uphill = jnp.clip(-dot, 0.0, 1.0)
-    slope_boost = jnp.float32(1.0) + jnp.float32(qc["slope"]) * q12(uphill)
-    wind_clip = jnp.clip(dot + jnp.float32(0.5), 0.0, 1.0)
-    wind_boost = jnp.float32(1.0) + q12(jnp.float32(qc["wind"])
-                                        * wind_clip) * jnp.float32(qc["c06"])
+    # terrain + wind bias: hoisted (terrain_static)
+    slope_boost = terrain["slope_boost"]
+    wind_boost = terrain["wind_boost"]
 
     fuel_term = jnp.clip(fuel, 0.0, 1.0)
     moist_term = jnp.float32(1.0) - jnp.clip(moisture, 0.0, 1.0)
@@ -329,8 +348,9 @@ def _sim_fn(key: tuple, seed: int, n_steps: int, params: ModelParams):
 
     def run(carry):
         t0 = carry["t"]
+        terrain = terrain_static(params, carry["elev"])
         carry, stats = jax.lax.scan(
-            lambda c, k: step_device(c, t0 + k, params, seed),
+            lambda c, k: step_device(c, t0 + k, params, seed, terrain),
             carry, jnp.arange(n_steps, dtype=jnp.int32))
         return carry, stats
 

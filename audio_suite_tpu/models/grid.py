@@ -356,6 +356,24 @@ def placement_indices(n_total: int, pat_n: int, start_offset_seconds: float,
     out[i] = pat[idx[i]] where valid — exact f64 position integration,
     resets via segmented cumulative sums."""
     start_idx = int(round(start_offset_seconds * sr))
+
+    # native sequential twin (exactly the reference loop, ~100x NumPy)
+    from ..utils import native_rt
+    pre = 0.0
+    if start_idx < 0:
+        prelen = -start_idx
+        if speed is None:
+            pre = float(prelen)
+        else:
+            pre = float(np.sum(np.asarray(speed[:min(prelen, len(speed))],
+                                          np.float64)))
+    nat = native_rt.grid_placement(n_total, pat_n, start_idx,
+                                   bool(loop_to_master), speed,
+                                   set(int(r) for r in reset_samples
+                                       if 0 <= r < n_total), pre)
+    if nat is not None:
+        return nat
+
     i = np.arange(n_total, dtype=np.int64)
 
     # increments: speed[i] (or 1.0), accumulated only where local >= 0

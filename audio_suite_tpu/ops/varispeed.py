@@ -449,8 +449,14 @@ def tape_segment_render(audio, mod_q, starts, ends, speeds_q, reverse,
     """Parallel tape engine: host exact trajectory + device gather kernel.
     Decision-exact vs tape_scan_render (same quantized integers); audio
     differs only by elementwise f32 rounding (<= 1 ulp per sample)."""
-    traj = tape_trajectory(audio.shape[0], mod_q, starts, ends, speeds_q,
-                           reverse, boundaries, splice_env.shape[0], consts)
+    from ..utils import native_rt
+    traj = native_rt.tape_trajectory(
+        len(mod_q), audio.shape[0], mod_q, starts, ends, speeds_q, reverse,
+        boundaries, splice_env, consts, 0, 0)
+    if traj is None:    # no compiler: NumPy fallback, same results
+        traj = tape_trajectory(audio.shape[0], mod_q, starts, ends, speeds_q,
+                               reverse, boundaries, splice_env.shape[0],
+                               consts)
     # NumPy args transfer bundled with the single jit call
     out = tape_gather_render(audio, traj["idx0"], traj["fr"],
                              traj["ga"], traj["gs"])

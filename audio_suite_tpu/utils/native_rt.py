@@ -1,0 +1,158 @@
+"""Loader for the native host runtime (native/ast_runtime.cpp).
+
+Compiles the C++ library on first use (g++, cached by source hash) and
+exposes ctypes wrappers.  Float semantics are pinned with
+-ffp-contract=off -fno-fast-math so every f32/f64 operation rounds exactly
+like the NumPy twins; the engines fall back to the NumPy implementations
+when no compiler is available (import never fails)."""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO, "native", "ast_runtime.cpp")
+_BUILD_DIR = os.path.join(_REPO, "native", "build")
+
+_lib = None
+_tried = False
+
+_CFLAGS = ["-O3", "-shared", "-fPIC", "-ffp-contract=off",
+           "-fno-fast-math", "-frounding-math"]
+
+
+def _build() -> str | None:
+    if not os.path.exists(_SRC):
+        return None
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read() + " ".join(_CFLAGS).encode()) \
+            .hexdigest()[:16]
+    so = os.path.join(_BUILD_DIR, f"libast_runtime_{tag}.so")
+    if os.path.exists(so):
+        return so
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    tmp = so + ".tmp"
+    try:
+        subprocess.run(["g++", *_CFLAGS, "-o", tmp, _SRC], check=True,
+                       capture_output=True, timeout=120)
+        os.replace(tmp, so)
+        return so
+    except Exception:
+        return None
+
+
+def get_lib():
+    """The loaded library, or None when unavailable."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("AST_DISABLE_NATIVE"):
+        return None
+    so = _build()
+    if so is None:
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+
+    i64 = ctypes.c_int64
+    i32 = ctypes.c_int32
+    f32 = ctypes.c_float
+    f64 = ctypes.c_double
+    p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    p_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+    lib.ast_grid_placement.argtypes = [
+        i64, i64, i64, i32,
+        ctypes.c_void_p, i64,          # speed (nullable)
+        ctypes.c_void_p, i64,          # resets (nullable)
+        f64, p_i64, p_u8]
+    lib.ast_grid_placement.restype = None
+
+    lib.ast_tape_trajectory.argtypes = [
+        i64, i64, p_f32,
+        p_i64, p_i64, p_f32, p_u8, i64,
+        ctypes.c_void_p, i64,
+        i64, p_f32,
+        i32, i64, f32,
+        i32, i32, f32, f32,
+        i64, i64,
+        p_i32, p_f32, p_f32, p_f32, p_i64]
+    lib.ast_tape_trajectory.restype = None
+
+    _lib = lib
+    return _lib
+
+
+# ---------------------------------------------------------------------------
+# Wrappers
+# ---------------------------------------------------------------------------
+
+def grid_placement(n_total: int, pat_n: int, start_idx: int, loop: bool,
+                   speed, resets, pre_phase: float):
+    """C twin of the reference phase-accumulator loop; returns
+    (idx i64[n_total], valid bool[n_total]) or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    idx = np.zeros(n_total, np.int64)
+    valid = np.zeros(n_total, np.uint8)
+    sp = None
+    sp_len = 0
+    if speed is not None:
+        sp = np.ascontiguousarray(speed, np.float32)
+        sp_len = len(sp)
+    rs = np.ascontiguousarray(sorted(resets), np.int64) if resets else None
+    lib.ast_grid_placement(
+        n_total, pat_n, start_idx, 1 if loop else 0,
+        sp.ctypes.data if sp is not None else None, sp_len,
+        rs.ctypes.data if rs is not None else None,
+        0 if rs is None else len(rs),
+        float(pre_phase), idx, valid)
+    return idx, valid.astype(bool)
+
+
+def tape_trajectory(T: int, n: int, mod_q, starts, ends, speeds_q, reverse,
+                    boundaries, splice_env, consts, init_whole: int,
+                    init_frac: int):
+    """C twin of ops/varispeed.tape_trajectory; returns the same dict or
+    None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    mod_q = np.ascontiguousarray(mod_q, np.float32)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    speeds_q = np.ascontiguousarray(speeds_q, np.float32)
+    reverse = np.ascontiguousarray(reverse, np.uint8)
+    bnd = np.ascontiguousarray(boundaries, np.int64)
+    env = np.ascontiguousarray(splice_env, np.float32)
+
+    idx0 = np.zeros(T, np.int32)
+    fr = np.zeros(T, np.float32)
+    ga = np.zeros(T, np.float32)
+    gs = np.zeros(T, np.float32)
+    fin = np.zeros(5, np.int64)
+    lib.ast_tape_trajectory(
+        T, n, mod_q, starts, ends, speeds_q, reverse, len(starts),
+        bnd.ctypes.data if len(bnd) else None, len(bnd),
+        len(env), env,
+        1 if consts.anticlick_on else 0, int(consts.smooth_len),
+        np.float32(consts.anticlick_strength),
+        1 if consts.splice_on else 0, 1 if consts.inertia_on else 0,
+        np.float32(consts.alpha_q), np.float32(consts.initial_speed_q),
+        int(init_whole), int(init_frac),
+        idx0, fr, ga, gs, fin)
+    final = dict(whole=int(fin[0]), frac=int(fin[1]),
+                 speed=float(np.float32(fin[2] * np.float32(1.0 / (1 << 22)))),
+                 splice_rem=int(fin[3]), splice_idx=int(fin[4]))
+    return dict(idx0=idx0, fr=fr, ga=ga, gs=gs, final=final)

@@ -1,0 +1,244 @@
+// ast_runtime — native host runtime for audio_suite_tpu.
+//
+// The framework's device kernels are JAX/XLA; this library implements the
+// CONTROL-PATH hot loops that are inherently sequential and run on the host
+// (SURVEY.md §7): the tape playback trajectory (section crossings, quantized
+// inertia, splice triggers, anti-click gains) and the grid DAW phase
+// accumulator.  Both must be bit-identical to their NumPy twins:
+//
+//   * float math is IEEE f32/f64 with no contraction — build with
+//     -ffp-contract=off -fno-fast-math (see utils/native_rt.py);
+//   * rintf/rint use round-to-nearest-even, matching np.rint;
+//   * positions are exact integer fixed point (2^-22), matching ops/fixq.py.
+//
+// Exactness is enforced by the test suite: the tape segment engine (driven
+// by this trajectory) must match the JAX lax.scan engine at <= -120 dBFS,
+// and the grid placement must equal the reference Python loop bit-for-bit.
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+namespace {
+
+constexpr int POS_FRAC_BITS = 22;
+constexpr int64_t POS_ONE = 1ll << POS_FRAC_BITS;
+constexpr float POS_ONE_F = 4194304.0f;
+constexpr float POS_INV_F = 1.0f / 4194304.0f;
+
+inline int64_t upper_bound(const int64_t* a, int64_t n, int64_t v) {
+    // first index with a[i] > v  (np.searchsorted side='right')
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (a[mid] <= v) lo = mid + 1; else hi = mid;
+    }
+    return lo;
+}
+
+inline int64_t lower_bound(const int64_t* a, int64_t n, int64_t v) {
+    // first index with a[i] >= v  (np.searchsorted side='left')
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (a[mid] < v) lo = mid + 1; else hi = mid;
+    }
+    return lo;
+}
+
+// quantized inertia one-pole step in fixed-point units
+// (ops/varispeed.py _speed_steps_np.step_int)
+inline int64_t inertia_step(int64_t t_int, int64_t s_int, float alpha_q) {
+    float d = (float)((double)(t_int - s_int) * (double)POS_INV_F);
+    float m = d * alpha_q;
+    return (int64_t)rint((double)m * (double)POS_ONE);
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Grid Audio phase accumulator (grid_audio_app.py:786-814 semantics)
+// ---------------------------------------------------------------------------
+// Sequential f64 loop — identical to oracles/grid_ref.py.  Writes idx[T]
+// (clipped to [0, pat_n-1]) and valid[T].
+void ast_grid_placement(
+    int64_t n_total, int64_t pat_n, int64_t start_idx, int32_t loop_to_master,
+    const float* speed, int64_t speed_len,          // NULL -> speed 1.0
+    const int64_t* resets, int64_t n_resets,        // sorted sample indices
+    double pre_phase,
+    int64_t* idx_out, uint8_t* valid_out)
+{
+    double phase = pre_phase;
+    int64_t r = 0;   // next reset pointer
+    std::memset(valid_out, 0, (size_t)n_total);
+    for (int64_t i = 0; i < n_total; ++i) {
+        idx_out[i] = 0;
+        while (r < n_resets && resets[r] < i) ++r;
+        if (r < n_resets && resets[r] == i) { phase = 0.0; ++r; }
+        int64_t local = i - start_idx;
+        if (local < 0) continue;
+        if (!loop_to_master && local >= pat_n) break;
+        double inc = 1.0;
+        if (speed && i < speed_len) inc = (double)speed[i];
+        int64_t idx = (int64_t)phase;           // phase >= 0: trunc == floor
+        if (loop_to_master) idx %= pat_n;
+        if (idx >= 0 && idx < pat_n) {
+            idx_out[i] = idx;
+            valid_out[i] = 1;
+        }
+        phase += inc;
+        if (!loop_to_master && phase >= (double)pat_n) break;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Tape trajectory (ops/varispeed.py tape_trajectory semantics)
+// ---------------------------------------------------------------------------
+// Outputs per sample: idx0 (i32, clipped), fr (f32), ga (anti-click gain),
+// gs (splice gain).  final_state: [whole, frac, speed_int, splice_rem,
+// splice_idx] as int64.
+void ast_tape_trajectory(
+    int64_t T, int64_t n,
+    const float* mod_q,
+    const int64_t* starts, const int64_t* ends, const float* speeds_q,
+    const uint8_t* reverse, int64_t num_secs,
+    const int64_t* boundaries, int64_t nb,
+    int64_t env_len, const float* splice_env,
+    int32_t anticlick_on, int64_t smooth_len, float anticlick_strength,
+    int32_t splice_on, int32_t inertia_on, float alpha_q,
+    float initial_speed_q,
+    int64_t init_whole, int64_t init_frac,
+    int32_t* idx0_out, float* fr_out, float* ga_out, float* gs_out,
+    int64_t* final_state)
+{
+    // scratch: per-sample position + section (heap)
+    int64_t* whole = new int64_t[T];
+    int64_t* frac = new int64_t[T];
+    int32_t* sec_arr = new int32_t[T];
+
+    int64_t w = init_whole, f = init_frac;
+    float speed = initial_speed_q;
+    int64_t s_int = (int64_t)rint((double)speed * (double)POS_ONE);
+    int64_t i = 0;
+
+    while (i < T) {
+        w = ((w % n) + n) % n;
+        int64_t sec = upper_bound(starts, num_secs, w) - 1;
+        sec = std::max<int64_t>(0, std::min<int64_t>(sec, num_secs - 1));
+        int64_t sec_start = starts[sec];
+        int64_t sec_end = ends[sec] <= sec_start ? sec_start + 1 : ends[sec];
+        float target = speeds_q[sec];
+        int64_t t_int = (int64_t)rint((double)target * (double)POS_ONE);
+        int64_t d_fix = (sec_end - w) * POS_ONE - f;
+
+        int64_t acc = 0;
+        int64_t j = i;
+        bool crossed = false;
+        while (j < T && !crossed) {
+            // per-sample loop within the visit (speed updates + crossing)
+            // (vectorization happens on the device side; this sequential C
+            // loop replaces the chunked NumPy search at ~100x the speed)
+            if (inertia_on) {
+                int64_t m = inertia_step(t_int, s_int, alpha_q);
+                s_int += m;
+            } else {
+                s_int = t_int;
+            }
+            float spd = (float)((double)s_int * (double)POS_INV_F);
+            float r1 = spd * mod_q[j];
+            int64_t inc = (int64_t)rint((double)(r1 * POS_ONE_F));
+            // record pre-advance position for sample j
+            int64_t fv = f + acc;
+            int64_t carry = fv >> POS_FRAC_BITS;
+            whole[j] = w + carry;
+            frac[j] = fv - (carry << POS_FRAC_BITS);
+            sec_arr[j] = (int32_t)sec;
+            acc += inc;
+            ++j;
+            if (acc >= d_fix) crossed = true;
+        }
+        int64_t fv = f + acc;
+        int64_t carry = fv >> POS_FRAC_BITS;
+        w += carry;
+        f = fv - (carry << POS_FRAC_BITS);
+        i = j;
+    }
+
+    // read-index mapping + gains (mirror of the NumPy post-pass)
+    for (int64_t k = 0; k < T; ++k) {
+        int64_t wr = ((whole[k] % n) + n) % n;
+        int64_t sec = sec_arr[k];
+        int64_t sec_start = starts[sec];
+        int64_t sec_end = ends[sec] <= sec_start ? sec_start + 1 : ends[sec];
+        int64_t sec_len = sec_end - sec_start;
+        int64_t local_w = ((wr - sec_start) % sec_len + sec_len) % sec_len;
+        int64_t fq = frac[k];
+        int64_t idx0;
+        float fr;
+        if (reverse[sec]) {
+            int64_t a = sec_end - 1 - local_w;
+            if (fq > 0) {
+                if (a == 0) { idx0 = 0; fr = -(float)fq * POS_INV_F; }
+                else { idx0 = a - 1; fr = (float)(POS_ONE - fq) * POS_INV_F; }
+            } else { idx0 = a; fr = 0.0f; }
+        } else {
+            idx0 = sec_start + local_w;
+            fr = (float)fq * POS_INV_F;
+        }
+        idx0 = std::max<int64_t>(0, std::min<int64_t>(idx0, n - 1));
+        idx0_out[k] = (int32_t)idx0;
+        fr_out[k] = fr;
+
+        float ga = 1.0f;
+        if (anticlick_on && nb > 0 && smooth_len > 0) {
+            int64_t jb = lower_bound(boundaries, nb, idx0);
+            int64_t dlo = (jb - 1 >= 0)
+                ? std::llabs(idx0 - boundaries[jb - 1]) : (1ll << 30);
+            int64_t dhi = (jb < nb)
+                ? std::llabs(boundaries[jb] - idx0) : (1ll << 30);
+            int64_t dmin = std::min(dlo, dhi);
+            if (dmin < smooth_len) {
+                float inv_smooth = (float)(1.0 / (double)smooth_len);
+                float x = (float)(smooth_len - dmin) * inv_smooth;
+                float g = 1.0f - anticlick_strength * x;
+                ga = g > 0.0f ? g : 0.0f;
+            }
+        }
+        ga_out[k] = ga;
+        gs_out[k] = 1.0f;
+    }
+
+    // splice gains: greedy trigger suppression over boundary hits
+    int64_t splice_rem = 0, splice_idx = 0;
+    if (splice_on && nb > 0) {
+        int64_t last_end = -1;
+        for (int64_t k = 0; k < T; ++k) {
+            int64_t jb = lower_bound(boundaries, nb, idx0_out[k]);
+            bool hit = (jb < nb) && (boundaries[jb] == idx0_out[k]);
+            if (hit && k >= last_end) {
+                int64_t e = std::min(T, k + env_len);
+                for (int64_t q = k; q < e; ++q)
+                    gs_out[q] = splice_env[q - k];
+                last_end = k + env_len;
+            }
+        }
+        if (last_end > T) {
+            splice_rem = last_end - T;
+            splice_idx = env_len - splice_rem;
+        }
+    }
+
+    final_state[0] = w;
+    final_state[1] = f;
+    final_state[2] = s_int;
+    final_state[3] = splice_rem;
+    final_state[4] = splice_idx;
+
+    delete[] whole;
+    delete[] frac;
+    delete[] sec_arr;
+}
+
+}  // extern "C"

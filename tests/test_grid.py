@@ -242,3 +242,37 @@ def test_reference_example_scripts_run(tmp_path):
         assert np.isfinite(mix).all(), path
         ok += 1
     assert ok >= 10
+
+
+def test_native_placement_bit_equal_numpy():
+    """C++ phase accumulator vs NumPy segmented-cumsum twin."""
+    from audio_suite_tpu.utils import native_rt
+    if native_rt.get_lib() is None:
+        pytest.skip("no native toolchain")
+    import os
+    os.environ["AST_DISABLE_NATIVE"] = "0"
+    rng = np.random.default_rng(3)
+    pat_n, n_total = 700, 5000
+    speed = np.clip(1.0 + 0.7 * rng.standard_normal(n_total),
+                    0.25, 4.0).astype(np.float32)
+    for loop in (True, False):
+        for off in (-0.05, 0.0, 0.13):
+            start_idx = int(round(off * SR))
+            pre = 0.0
+            if start_idx < 0:
+                pre = float(np.sum(speed[:-start_idx].astype(np.float64)))
+            nat = native_rt.grid_placement(
+                n_total, pat_n, start_idx, loop, speed, {640, 2930}, pre)
+            # numpy fallback path (bypass native)
+            import audio_suite_tpu.utils.native_rt as nr
+            saved = nr._lib, nr._tried
+            nr._lib, nr._tried = None, True
+            try:
+                idx2, valid2 = grid.placement_indices(
+                    n_total, pat_n, off, SR, loop, speed, {640, 2930})
+            finally:
+                nr._lib, nr._tried = saved
+            pat = rand_pat(pat_n, 5)
+            a = np.where(nat[1], pat[nat[0]], 0.0)
+            b = np.where(valid2, pat[idx2], 0.0)
+            assert np.array_equal(a, b), (loop, off)

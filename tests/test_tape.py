@@ -194,3 +194,31 @@ def test_segment_engine_matches_scan_inertia_strong(audio):
         inertia_enabled=True, inertia_amount=100, current_speed=0.25,
         enable_splice_fx=True, anticlick_enabled=True)
     assert _seg_vs_scan(audio, p, 100000) <= -120.0
+
+
+def test_native_trajectory_bit_equal_numpy(audio):
+    """The C++ trajectory must equal the NumPy twin bit-for-bit (including
+    quantized inertia) — this pins the native runtime's float semantics."""
+    from audio_suite_tpu.utils import native_rt
+    from audio_suite_tpu.ops import varispeed
+    if native_rt.get_lib() is None:
+        pytest.skip("no native toolchain")
+    n = len(audio)
+    p = tape.TapeParams(
+        markers=[n // 4, n // 2, (3 * n) // 4],
+        section_speeds=[1.3, 2.7, 0.31, 3.9],
+        section_reverse=[False, True, False, True],
+        inertia_enabled=True, inertia_amount=65, current_speed=2.0,
+        tape_age=85, enable_splice_fx=True, anticlick_enabled=True)
+    frames = 50000
+    prog = tape.build_tape_program(audio, p, frames)
+    a = native_rt.tape_trajectory(
+        frames, n, prog["mod_q"], prog["starts"], prog["ends"],
+        prog["speeds_q"], prog["reverse"], prog["boundaries"],
+        prog["splice_env"], prog["consts"], 0, 0)
+    b = varispeed.tape_trajectory(
+        n, prog["mod_q"], prog["starts"], prog["ends"], prog["speeds_q"],
+        prog["reverse"], prog["boundaries"], 256, prog["consts"])
+    for k in ("idx0", "fr", "ga", "gs"):
+        assert np.array_equal(a[k], b[k]), k
+    assert a["final"] == b["final"]
