@@ -105,3 +105,22 @@ def test_microsound_batch_render_manifest(tmp_path):
     paths2 = ms.batch_render(p, str(tmp_path), seeds=[1, 2],
                              stretches=[1.0, 1.5], manifest_path=man)
     assert paths2 == paths
+
+
+def test_pallas_overlap_add_fallback_matches_reference():
+    """overlap_add (scatter fallback on CPU; Pallas kernel on TPU) must
+    match the sequential reference accumulation."""
+    import jax.numpy as jnp
+    from audio_suite_tpu.ops import pallas_oa
+
+    rng = np.random.default_rng(0)
+    E, L, out_len = 5, 1024, 8192
+    vals = rng.standard_normal((E, L)).astype(np.float32)
+    starts = np.asarray([0, 64, 1111, 4096, 7000], np.int32)
+    ref = np.zeros(out_len, np.float32)
+    for e in range(E):
+        ref[starts[e]:starts[e] + L] += vals[e]
+    got = np.asarray(pallas_oa.overlap_add(
+        jnp.zeros(out_len, jnp.float32), jnp.asarray(vals),
+        jnp.asarray(starts)))
+    assert np.max(np.abs(got - ref)) < 1e-5
