@@ -39,6 +39,9 @@ def cmd_microsound(args):
     ir = None
     if args.ir:
         ir, _ = audio_io.load_wav_mono(args.ir)
+    img = None
+    if args.image:
+        img = ms.load_image_gray(args.image)
 
     def progress(pct, msg):
         print(f"\r[{pct:3d}%] {msg:<60}", end="", file=sys.stderr)
@@ -49,10 +52,12 @@ def cmd_microsound(args):
             seeds=[int(x) for x in _floats(args.batch_seeds or "")] or None,
             unfolds=_floats(args.batch_unfolds or "") or None,
             stretches=_floats(args.batch_stretches or "") or None,
-            ir_audio=ir, manifest_path=args.manifest, progress=progress)
+            ir_audio=ir, img_gray=img, manifest_path=args.manifest,
+            progress=progress)
         print(f"\nwrote {len(paths)} files under {args.out or 'renders'}")
         return
-    stereo, meta = ms.render(p, ir_audio=ir, progress=progress)
+    stereo, meta = ms.render(p, ir_audio=ir, img_gray=img,
+                             progress=progress)
     out = args.out or "microsound.wav"
     audio_io.write_wav(out, stereo, p.base_sr)
     print(f"\n{out}: {stereo.shape[0] / p.base_sr:.2f}s @ {p.base_sr} Hz, "
@@ -211,6 +216,7 @@ def build_parser():
     m.add_argument("--dur", type=float)
     m.add_argument("--seed", type=int)
     m.add_argument("--ir", help="impulse-response WAV")
+    m.add_argument("--image", help="grayscale image for Image scanline mode")
     m.add_argument("--batch-seeds")
     m.add_argument("--batch-unfolds")
     m.add_argument("--batch-stretches")

@@ -855,3 +855,19 @@ def batch_render(params: MicrosoundParams, out_dir: str,
         if progress:
             progress(int(100 * (k + 1) / len(jobs)), jid)
     return written
+
+
+def save_preset(params: MicrosoundParams, path: str):
+    """Save the full parameter snapshot (main_v2.py:1296-1310 semantics:
+    the JSON is the complete get_params dict, loadable by the reference)."""
+    with open(path, "w") as f:
+        json.dump(params.to_dict(), f, indent=2, sort_keys=True)
+
+
+def load_image_gray(path: str):
+    """Load an image as a grayscale uint8-range array for the Image
+    scanline generator (main_v2.py:1415-1429 uses Qt's grayscale
+    conversion; this uses PIL's 'L' mode — same ITU-R 601 luma)."""
+    from PIL import Image
+    img = Image.open(path).convert("L")
+    return np.asarray(img, dtype=np.float64)
