@@ -124,3 +124,23 @@ def test_pallas_overlap_add_fallback_matches_reference():
         jnp.zeros(out_len, jnp.float32), jnp.asarray(vals),
         jnp.asarray(starts)))
     assert np.max(np.abs(got - ref)) < 1e-5
+
+
+def test_sharded_fir_conv_matches_single_device():
+    """Timeline-sharded FIR convolution with ppermute halo exchange vs the
+    single-device partitioned FFT convolution (SURVEY.md §5 long-context)."""
+    from audio_suite_tpu.parallel import timeline as tl
+
+    require_devices(8)
+    mesh = pb.make_mesh(8)
+    rng = np.random.default_rng(0)
+    N = 8 * 4096
+    x = rng.standard_normal(N).astype(np.float32)
+
+    for K in (129, 4096, 9000):    # sub-block, exactly block, multi-hop
+        kernel = (rng.standard_normal(K)
+                  * np.exp(-np.arange(K) / (K / 6))).astype(np.float32)
+        got = np.asarray(tl.sharded_fir_conv(x, kernel, mesh))
+        want = tl.sharded_conv_reference(x, kernel)
+        scale = max(1e-9, float(np.max(np.abs(want))))
+        assert np.max(np.abs(got - want)) / scale < 1e-5, K
