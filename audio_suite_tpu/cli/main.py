@@ -65,8 +65,11 @@ def cmd_microsound(args):
 
 
 def cmd_tape(args):
+    import time
+
     from ..models import tape
     from ..utils import io as audio_io
+    from ..utils.profiling import render_meta
 
     audio, sr = audio_io.load_wav_mono(args.input)
     params = tape.TapeParams(sample_rate=sr)
@@ -84,9 +87,12 @@ def cmd_tape(args):
     if args.target_time:
         params.section_speeds = tape.fit_to_target_time(
             params, len(audio), args.target_time)
+    t0 = time.perf_counter()
     out = tape.render_tape(audio, params)
+    meta = render_meta(out, sr, time.perf_counter() - t0)
     audio_io.write_wav(args.out, out, sr, subtype="PCM_16")
-    print(f"{args.out}: {len(out) / sr:.2f}s @ {sr} Hz")
+    print(f"{args.out}: {meta['seconds']:.2f}s @ {sr} Hz, "
+          f"peak {meta['peak_dbfs']} dBFS, RTF {meta['rtf']}x")
 
 
 def cmd_scrub(args):
@@ -102,10 +108,16 @@ def cmd_scrub(args):
         drags.append((t0, dx, dur))
     trace = scrub.scripted_gesture_trace(blocks, sr, drag_events=drags,
                                          base_speed=args.base_speed)
+    import time
+
+    from ..utils.profiling import render_meta
+    t0 = time.perf_counter()
     out = scrub.render_scrub(audio, cfg, trace)
+    meta = render_meta(out, sr, time.perf_counter() - t0)
     audio_io.write_wav(args.out, out, sr)
-    print(f"{args.out}: {args.seconds:.2f}s scrub @ {sr} Hz, "
-          f"{args.heads} heads")
+    print(f"{args.out}: {meta['seconds']:.2f}s scrub @ {sr} Hz, "
+          f"{args.heads} heads, peak {meta['peak_dbfs']} dBFS, "
+          f"RTF {meta['rtf']}x")
 
 
 def cmd_patternlab(args):
