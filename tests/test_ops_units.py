@@ -1,0 +1,163 @@
+"""Unit coverage for the ops/utils layers: deterministic noise twins,
+cycle-domain transcendentals, fixed-point math, significand rounding,
+breakpoints, schedulers, music math, WAV codec, OSC vs rules interplay."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from audio_suite_tpu.ops import detmath, fixq, noise
+from audio_suite_tpu.utils import music
+from audio_suite_tpu.utils.breakpoints import eval_breakpoints, parse_breakpoints
+from audio_suite_tpu.events.schedulers import generate_event_times
+
+
+def test_noise_twins_bit_identical():
+    i = np.arange(4096, dtype=np.uint32)
+    for stream in (0, 3, 17):
+        for seed in (0, 1, 123456789):
+            a = np.asarray(jax.jit(
+                lambda: noise.uniform(jnp.uint32(seed), jnp.asarray(i),
+                                      jnp.uint32(stream)))())
+            b = noise.uniform_np(np.uint32(seed), i, np.uint32(stream))
+            assert np.array_equal(a, b)
+            c = np.asarray(jax.jit(
+                lambda: noise.normal(jnp.uint32(seed), jnp.asarray(i),
+                                     jnp.uint32(stream)))())
+            d = noise.normal_np(np.uint32(seed), i, np.uint32(stream))
+            assert np.array_equal(c, d)
+
+
+def test_noise_distributions():
+    i = np.arange(200000, dtype=np.uint32)
+    u = noise.uniform_np(7, i, 0)
+    assert 0.49 < float(u.mean()) < 0.51
+    assert float(u.min()) >= 0.0 and float(u.max()) < 1.0
+    g = noise.normal_np(7, i, 1)
+    assert abs(float(g.mean())) < 0.01
+    assert 0.98 < float(g.std()) < 1.02
+
+
+def test_detmath_twins_and_accuracy():
+    """Twins agree to output-ulp scale (XLA FMA-contracts the polynomial:
+    ~1 ulp wiggle, never amplified — the detmath docstring's contract) and
+    both are accurate vs f64 references even at huge phases."""
+    x = np.linspace(-1000, 1000, 100001).astype(np.float32)
+    a = np.asarray(jax.jit(detmath.sin_cycles)(jnp.asarray(x)))
+    b = detmath.sin_cycles_np(x)
+    assert float(np.max(np.abs(a - b))) < 2e-7
+    ref = np.sin(2 * np.pi * x.astype(np.float64))
+    assert float(np.max(np.abs(b - ref))) < 2e-6
+    y = np.linspace(-20, 20, 10001).astype(np.float32)
+    e1 = np.asarray(jax.jit(detmath.exp2)(jnp.asarray(y)))
+    e2 = detmath.exp2_np(y)
+    rel_t = np.abs(e1.astype(np.float64) / e2.astype(np.float64) - 1.0)
+    assert float(rel_t.max()) < 3e-7
+    rel = np.abs(e2.astype(np.float64) / (2.0 ** y.astype(np.float64)) - 1.0)
+    assert float(rel.max()) < 1e-6
+
+
+def test_fixq_segmented_cumsum_twins():
+    rng = np.random.default_rng(0)
+    inc = rng.integers(-(1 << 23), 1 << 23, size=5000).astype(np.int32)
+    reset = rng.random(5000) < 0.01
+    w1, f1 = fixq.segmented_pos_cumsum(jnp.asarray(inc), jnp.asarray(reset),
+                                       init_whole=3, init_frac=12345)
+    w2, f2 = fixq.segmented_pos_cumsum_np(inc, reset, 3, 12345)
+    assert np.array_equal(np.asarray(w1), w2)
+    assert np.array_equal(np.asarray(f1), f2)
+    assert (f2 >= 0).all() and (f2 < fixq.POS_ONE).all()
+
+
+def test_round_sig12_products_exact():
+    rng = np.random.default_rng(1)
+    a = fixq.round_sig12_np(rng.uniform(-8, 8, 2000).astype(np.float32))
+    b = fixq.round_sig12_np(rng.uniform(-8, 8, 2000).astype(np.float32))
+    p32 = (a * b).astype(np.float64)
+    p64 = a.astype(np.float64) * b.astype(np.float64)
+    assert np.array_equal(p32, p64)
+    # and the relative perturbation is <= 2**-12
+    x = rng.uniform(0.1, 8, 2000).astype(np.float32)
+    q = fixq.round_sig12_np(x)
+    assert float(np.max(np.abs(q / x - 1.0))) <= 2 ** -12
+
+
+def test_breakpoints_reference_semantics():
+    pts = parse_breakpoints(" 0:18, 4:40 , 8:14, bad, 2:")
+    assert pts == [(0.0, 18.0), (4.0, 40.0), (8.0, 14.0)]
+    assert eval_breakpoints(pts, -1.0, 99) == 18.0
+    assert eval_breakpoints(pts, 10.0, 99) == 14.0
+    assert eval_breakpoints(pts, 2.0, 99) == pytest.approx(29.0)
+    assert eval_breakpoints([], 1.0, 42.5) == 42.5
+    assert parse_breakpoints("") == []
+
+
+def test_schedulers_reference_exact_rng():
+    """Same rng(seed+9999) streams as main_v2.py:507-558."""
+    t1 = generate_event_times("Poisson", 4.0, 25.0, seed=7)
+    rng = np.random.default_rng(7 + 9999)
+    ref, t = [], 0.0
+    while t < 4.0:
+        t += rng.exponential(1.0 / 25.0)
+        if t < 4.0:
+            ref.append(t)
+    assert t1 == ref
+    assert generate_event_times("Single", 4.0, 25.0, seed=7) == [0.0]
+    assert generate_event_times("Poisson", 4.0, 0.0, seed=7) == [0.0]
+    tc = generate_event_times("Clustered", 2.0, 30.0, seed=3)
+    assert tc == sorted(tc) and all(0 <= x < 2.0 for x in tc)
+    th = generate_event_times("Hawkes", 2.0, 20.0, seed=3)
+    assert all(0 <= x < 2.01 for x in th) and len(th) > 5
+
+
+def test_music_math():
+    assert music.midi_to_hz(69) == pytest.approx(440.0)
+    assert music.midi_to_hz(81) == pytest.approx(880.0)
+    assert music.primes_upto(20) == [2, 3, 5, 7, 11, 13, 17, 19]
+    # pythagorean fifth folding stays in [1, 2)
+    for st in range(-12, 13):
+        r = music.pythagorean_ratio(st)
+        assert 1.0 <= r < 2.0
+    e = music.euclidean_rhythm(8, 3)
+    assert int(np.sum(e)) == 3 and len(e) == 8
+    e2 = music.euclidean_rhythm(8, 3, rotate=2)
+    assert int(np.sum(e2)) == 3
+
+
+def test_wav_codec_roundtrip(tmp_path):
+    from audio_suite_tpu.utils import io as audio_io
+    rng = np.random.default_rng(0)
+    for ch in (1, 2):
+        x = (0.7 * rng.standard_normal((1000, ch))).astype(np.float32)
+        x = np.clip(np.squeeze(x), -1, 1)
+        for subtype in (None, "PCM_16"):
+            path = str(tmp_path / f"t{ch}_{subtype}.wav")
+            audio_io.write_wav(path, x, 22050, subtype=subtype)
+            y, sr = audio_io.read_wav(path)
+            assert sr == 22050
+            tol = 1e-4 if subtype == "PCM_16" else 1e-7
+            assert np.max(np.abs(np.squeeze(y) - x)) < tol
+
+
+def test_spectral_filters_vs_numpy():
+    """lowpass/bandpass kernels vs direct NumPy mirrors at padded length."""
+    from audio_suite_tpu.ops import spectral
+    from oracles.microsound_ref import _bandpass_fft, _lowpass_fft
+    rng = np.random.default_rng(2)
+    L = 512
+    x = np.zeros(L, np.float32)
+    x[:300] = rng.standard_normal(300).astype(np.float32)
+    sr = 48000.0
+    for cutoff, roll in ((8000.0, 0.0), (8000.0, 2000.0), (100.0, 50.0)):
+        a = np.asarray(jax.jit(
+            lambda v: spectral.lowpass_fft(v, sr, cutoff, roll))(
+            jnp.asarray(x)))
+        b = _lowpass_fft(x.astype(np.float64), sr, cutoff, roll)
+        assert float(np.max(np.abs(a - b))) < 1e-5, (cutoff, roll)
+    for lo, hi, roll in ((500.0, 6000.0, 0.0), (0.0, 4000.0, 1000.0),
+                         (1000.0, 24000.0, 500.0)):
+        a = np.asarray(jax.jit(
+            lambda v: spectral.bandpass_fft(v, sr, lo, hi, roll))(
+            jnp.asarray(x)))
+        b = _bandpass_fft(x.astype(np.float64), sr, lo, hi, roll)
+        assert float(np.max(np.abs(a - b))) < 1e-5, (lo, hi, roll)
