@@ -645,14 +645,15 @@ def chunk_body(cfg: ChainCfg):
         grains = jax.vmap(lambda e: _one_grain(e, cfg))(evs)
         if cfg.fb_on or cfg.imprint_on:
             carry, grains = _fb_imprint_scan(grains, evs["n"], carry, cfg)
+        # out[start + i] += amp * grain[offset + i]  ==  scatter grain[j]
+        # to start - offset + j for j in [offset, n): an index shift in the
+        # scatter instead of a (TPU-slow) 8M-element offset gather
         j = jnp.arange(cfg.L, dtype=jnp.int32)
-        src = evs["offset"][:, None] + j[None, :]
-        gath = jnp.take_along_axis(grains, jnp.clip(src, 0, cfg.L - 1),
-                                   axis=1)
-        valid = src < evs["n"][:, None]
-        idx = evs["start"][:, None] + j[None, :]
-        valid = valid & (idx < cfg.out_n)
-        val = evs["amp"][:, None] * jnp.where(valid, gath, 0.0)
+        idx = (evs["start"] - evs["offset"])[:, None] + j[None, :]
+        valid = ((j[None, :] >= evs["offset"][:, None])
+                 & (j[None, :] < evs["n"][:, None])
+                 & (idx < cfg.out_n) & (idx >= 0))
+        val = evs["amp"][:, None] * jnp.where(valid, grains, 0.0)
         out = out.at[jnp.where(valid, idx, cfg.out_n).reshape(-1)].add(
             val.reshape(-1), mode="drop")
         return carry, grains[-1], out
@@ -718,8 +719,7 @@ class FxCfg:
     peak: float
 
 
-@functools.lru_cache(maxsize=32)
-def _fx_fn(cfg: FxCfg):
+def fx_body(cfg: FxCfg):
     def run(out, er_kernel, ir_kernel):
         a, d, s, r, curve = cfg.env
         env = envelopes.make_adsr(cfg.out_n, cfg.sr, a, d, s, r, curve)
@@ -737,6 +737,27 @@ def _fx_fn(cfg: FxCfg):
         st = space.normalize(st, peak=cfg.peak)
         return st
 
+    return run
+
+
+@functools.lru_cache(maxsize=32)
+def _fx_fn(cfg: FxCfg):
+    return jax.jit(fx_body(cfg))
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_fn(cfg: ChainCfg, fx: FxCfg):
+    """Single-chunk fast path: grain chunk + global FX as ONE jit dispatch
+    (a jit-call roundtrip costs ~26 ms on tunnel-attached TPUs)."""
+    chunk = chunk_body(cfg)
+    fxr = fx_body(fx)
+
+    def run(evs, carry, out, er_kernel, ir_kernel):
+        carry, grain_last, out = chunk(evs, carry, out)
+        return carry, grain_last, fxr(out[: fx.out_n], er_kernel, ir_kernel)
+
+    # no donation: the scatter buffer's shape differs from the stereo
+    # output, so the donated buffer would be unusable (and warn)
     return jax.jit(run)
 
 
@@ -749,28 +770,6 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
     out_n = prog["out_n"]
     out = np.zeros(out_n + 1, np.float32)     # +1 = scatter drop slot
     # (transferred bundled with the first chunk call)
-
-    grain_last = None
-    if prog["E"] > 0:
-        L = prog["L"]
-        if event_chunk is None:
-            # ~256 MB of grain buffers per chunk
-            event_chunk = max(1, min(prog["E"], (1 << 26) // max(1, L)))
-        cfg = chain_cfg(p, prog, event_chunk)
-        fn = _chunk_fn(cfg)
-        chunks = _chunk_events(prog, event_chunk)
-        carry = None
-        if cfg.fb_on or cfg.imprint_on:
-            carry = (np.zeros(L, np.float32), np.int32(0),
-                     np.bool_(False), np.zeros(L // 2 + 1, np.float32),
-                     np.bool_(False))
-        for ci, ch in enumerate(chunks):
-            carry, grain_last, out = fn(ch, carry, out)
-            if progress:
-                progress(int(5 + 70 * (ci + 1) / len(chunks)),
-                         f"Events chunk {ci + 1}/{len(chunks)}")
-
-    out = out[:out_n]
 
     er_kernel = np.zeros(2, np.float32)
     if p.er_cloud_on:
@@ -786,7 +785,6 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
         irm = irm[: min(irm.size, 8192)]       # convolve_ir_short cap (:441)
         ir_on = irm.size >= 8
         ir_kernel = irm.astype(np.float32) if ir_on else ir_kernel
-
     fx = FxCfg(out_n=out_n, sr=int(p.base_sr),
                env=(float(p.env_a), float(p.env_d), float(p.env_s),
                     float(p.env_r), float(p.env_curve)),
@@ -794,6 +792,41 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
                stereo_on=bool(p.stereo_on),
                stereo_width=float(p.stereo_width),
                sat_drive=float(p.sat_drive), peak=float(p.peak))
+
+    grain_last = None
+    if prog["E"] > 0:
+        L = prog["L"]
+        if event_chunk is None:
+            # ~256 MB of grain buffers per chunk
+            event_chunk = max(1, min(prog["E"], (1 << 26) // max(1, L)))
+        cfg = chain_cfg(p, prog, event_chunk)
+        fn = _chunk_fn(cfg)
+        chunks = _chunk_events(prog, event_chunk)
+        carry = None
+        if cfg.fb_on or cfg.imprint_on:
+            carry = (np.zeros(L, np.float32), np.int32(0),
+                     np.bool_(False), np.zeros(L // 2 + 1, np.float32),
+                     np.bool_(False))
+        if len(chunks) == 1:
+            carry, grain_last, stereo = _fused_fn(cfg, fx)(
+                chunks[0], carry, out, er_kernel, ir_kernel)
+            if progress:
+                progress(100, "Done.")
+            meta = {
+                "out_sr": int(p.base_sr),
+                "design_sr_base": prog["gen_sr_base"],
+                "events": prog["E"],
+                "grain_last": np.asarray(grain_last),
+            }
+            return np.asarray(stereo), meta
+        for ci, ch in enumerate(chunks):
+            carry, grain_last, out = fn(ch, carry, out)
+            if progress:
+                progress(int(5 + 70 * (ci + 1) / len(chunks)),
+                         f"Events chunk {ci + 1}/{len(chunks)}")
+
+    out = out[:out_n]
+
     stereo = _fx_fn(fx)(out, er_kernel, ir_kernel)
 
     meta = {

@@ -87,8 +87,67 @@ def _lerp_uniform(y, pos):
 
 def _interp_spectrum(X, k_in):
     """np.interp of Re/Im at fractional bin positions, zero outside
-    (main_v2.py:110-114)."""
-    return _lerp_uniform(X.real, k_in) + 1j * _lerp_uniform(X.imag, k_in)
+    (main_v2.py:110-114).  Lerp on complex64 directly: scaling a complex by
+    a real is per-component, so this equals separate Re/Im interpolation
+    while halving the (TPU-slow) gathers."""
+    return _lerp_uniform(X, k_in)
+
+
+def _lerp_uniform_affine(y, scale, block: int = 128, max_scale: float = 4.0):
+    """Gather-free lerp of y (uniform grid 0..nf-1) at AFFINE positions
+    k*scale, zero outside the grid.
+
+    TPU element gathers cost ~50 ns each (the naive lerp of a 270x16385
+    spectrum batch measured ~0.45 s); affine positions are monotone with
+    bounded step, so each output block of `block` bins only reads a
+    contiguous input window of ~max_scale*block bins.  The lerp becomes a
+    one-hot banded matrix times the window — MXU work plus one contiguous
+    dynamic_slice per block.  Equality-based one-hot construction means
+    out-of-window positions simply produce zeros (they are masked invalid
+    anyway), so the kernel is safe for any scale; positions are only
+    *in*-window (i.e. results match the gather lerp) for scale <= max_scale
+    — the reference's stretch range is [0.25, 4] (main_v2.py:1006).
+
+    Exactness: each output row has exactly two nonzero products — the same
+    (1-t)*a, t*b as the gather path — so results agree to MXU f32 rounding
+    (~1 ulp)."""
+    nf = y.shape[-1]
+    A = -(-nf // block)
+    nf_pad = A * block
+    Wd = int(max_scale * block) + 8
+    ypad = jnp.concatenate([y, jnp.zeros(nf_pad + Wd - nf, y.dtype)])
+    scale = jnp.asarray(scale, jnp.float32)
+    is_complex = jnp.iscomplexobj(y)
+
+    def blk(_, a):
+        k = (a * block + jnp.arange(block, dtype=jnp.int32)) \
+            .astype(jnp.float32)
+        pos = k * scale
+        valid = (pos >= 0.0) & (pos <= jnp.float32(nf - 1))
+        i0 = jnp.clip(jnp.floor(pos), 0.0, jnp.float32(nf - 2))
+        t = pos - i0
+        win = jnp.clip(
+            jnp.floor(a.astype(jnp.float32) * jnp.float32(block) * scale)
+            .astype(jnp.int32) - 2,
+            0, nf_pad)
+        local = i0.astype(jnp.int32) - win
+        w_idx = jnp.arange(Wd, dtype=jnp.int32)[None, :]
+        W = ((w_idx == local[:, None]).astype(jnp.float32)
+             * (jnp.float32(1.0) - t[:, None])
+             + (w_idx == local[:, None] + 1).astype(jnp.float32)
+             * t[:, None])
+        W = W * valid[:, None].astype(jnp.float32)
+        xw = jax.lax.dynamic_slice(ypad, (win,), (Wd,))
+        if is_complex:
+            out = (jnp.dot(W, xw.real, precision=jax.lax.Precision.HIGHEST)
+                   + 1j * jnp.dot(W, xw.imag,
+                                  precision=jax.lax.Precision.HIGHEST))
+        else:
+            out = jnp.dot(W, xw, precision=jax.lax.Precision.HIGHEST)
+        return None, out
+
+    _, blocks = jax.lax.scan(blk, None, jnp.arange(A, dtype=jnp.int32))
+    return blocks.reshape(-1)[:nf]
 
 
 def fft_warp_power(x, power):
@@ -104,12 +163,14 @@ def fft_warp_power(x, power):
 
 
 def fft_partial_stretch(x, factor):
-    """Linear partial stretch via spectrum resampling (main_v2.py:117-128)."""
+    """Linear partial stretch via spectrum resampling (main_v2.py:117-128).
+    The resample positions k/factor are affine, so the gather-free blockwise
+    MXU lerp applies."""
     L = x.shape[-1]
     X = jnp.fft.rfft(x)
-    k = jnp.arange(X.shape[-1], dtype=jnp.float32)
-    k_in = k / jnp.maximum(1e-12, jnp.asarray(factor, jnp.float32))
-    Y = _interp_spectrum(X, k_in)
+    inv_f = jnp.float32(1.0) / jnp.maximum(
+        1e-12, jnp.asarray(factor, jnp.float32))
+    Y = _lerp_uniform_affine(X, inv_f)
     y = jnp.fft.irfft(Y, n=L).astype(jnp.float32)
     return jnp.where(jnp.abs(jnp.asarray(factor, jnp.float32) - 1.0) < 1e-9,
                      x, y)
