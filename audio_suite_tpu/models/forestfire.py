@@ -278,14 +278,20 @@ def step_device(carry, step_idx, params: ModelParams, seed: int,
     yy = jnp.mod(yi + dy, H)
     xx = jnp.mod(xi + dx, W)
     lin = yy * W + xx
-    land_moist = moisture.reshape(-1)[lin]
-    land_fuel = fuel.reshape(-1)[lin]
+    # one packed gather instead of three (TPU gathers cost per index, not
+    # per byte; values are identical so the oracle needs no mirror)
+    packed = jnp.stack([moisture.reshape(-1), fuel.reshape(-1),
+                        (state == TREE).reshape(-1).astype(jnp.float32)],
+                       axis=-1)
+    landed = packed[lin.reshape(-1)].reshape(H, W, 3)
+    land_moist = landed[..., 0]
+    land_fuel = landed[..., 1]
     p_ember = jnp.clip(
         jnp.float32(p.spotting_strength)
         * (jnp.float32(1.0) - land_moist)
         * (jnp.float32(0.25) + jnp.float32(qc["c075"]) * q12(land_fuel)),
         0.0, 0.95)
-    land_tree = state.reshape(-1)[lin] == TREE
+    land_tree = landed[..., 2] > 0.5
     ok = emit & land_tree & (u(_S_IGNITE) < p_ember)
     ember_hits = jnp.zeros(H * W, jnp.int32).at[lin.reshape(-1)].add(
         ok.reshape(-1).astype(jnp.int32))
