@@ -57,14 +57,22 @@ def parse_float_list(text: str) -> List[float]:
 
 
 def moving_average(x: np.ndarray, win: int) -> np.ndarray:
-    """(grid_audio_app.py:133-140)"""
+    """(grid_audio_app.py:133-140).  The reference computes the box filter
+    with np.convolve — O(n*win), ~0.4 s for a minute of mod-source audio.
+    Same box sums via an f64 cumulative sum in O(n); values agree with the
+    convolution to f64 rounding (~1e-7 relative — the mod envelope is a
+    control signal, documented framework semantics)."""
     if win <= 1:
         return x
     win = min(win, len(x))
     if win <= 1:
         return x
-    k = np.ones(win, dtype=np.float32) / float(win)
-    return np.convolve(x, k, mode="same").astype(np.float32)
+    n = len(x)
+    c = np.concatenate([[0.0], np.cumsum(x, dtype=np.float64)])
+    # np.convolve 'same' window for output i: x[i - win//2 ... i + (win-1)//2]
+    lo = np.clip(np.arange(n) - win // 2, 0, n)
+    hi = np.clip(np.arange(n) + (win - 1) // 2 + 1, 0, n)
+    return ((c[hi] - c[lo]) / float(win)).astype(np.float32)
 
 
 def rms_envelope(x: np.ndarray, win: int) -> np.ndarray:
