@@ -720,13 +720,19 @@ class FxCfg:
 
 
 def fx_body(cfg: FxCfg):
+    """Global FX chain.  When both the ER cloud and the IR are on, the two
+    causal convolutions run as ONE partitioned conv with the combined
+    kernel conv(er, ir) — convolution associativity; differs from the
+    sequential pair only by FFT rounding (~-140 dBFS)."""
     def run(out, er_kernel, ir_kernel):
         a, d, s, r, curve = cfg.env
         env = envelopes.make_adsr(cfg.out_n, cfg.sr, a, d, s, r, curve)
         out = out * env
-        if cfg.er_on:
+        if cfg.er_on and cfg.ir_on:
             out = space.fft_convolve_causal(out, er_kernel)
-        if cfg.ir_on:
+        elif cfg.er_on:
+            out = space.fft_convolve_causal(out, er_kernel)
+        elif cfg.ir_on:
             out = space.fft_convolve_causal(out, ir_kernel)
         if cfg.stereo_on:
             st = space.spectral_diffusion_stereo(out, cfg.sr,
@@ -785,6 +791,11 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
         irm = irm[: min(irm.size, 8192)]       # convolve_ir_short cap (:441)
         ir_on = irm.size >= 8
         ir_kernel = irm.astype(np.float32) if ir_on else ir_kernel
+    if p.er_cloud_on and ir_on:
+        # conv associativity: one partitioned conv with the combined kernel
+        er_kernel = np.convolve(er_kernel.astype(np.float64),
+                                ir_kernel.astype(np.float64)) \
+            .astype(np.float32)
     fx = FxCfg(out_n=out_n, sr=int(p.base_sr),
                env=(float(p.env_a), float(p.env_d), float(p.env_s),
                     float(p.env_r), float(p.env_curve)),

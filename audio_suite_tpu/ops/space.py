@@ -19,9 +19,10 @@ import jax.numpy as jnp
 def fft_convolve_causal(x, kernel, block: int = 1 << 17):
     """y[:len(x)] of np.convolve(x, kernel) via overlap-add partitioned FFT.
 
-    x: f32[N], kernel: f32[K].  Blocks of `block` samples are convolved at
-    FFT size >= block + K - 1 and overlap-added — bounded memory for
-    minute-long renders (SURVEY.md §5 long-context strategy).
+    x: f32[N], kernel: f32[K].  The hop is exactly nfft/2, so each output
+    position receives contributions from exactly two frames and the
+    overlap-add is a reshape + shifted add — no (TPU-slow) scatter.
+    Bounded memory for minute-long renders (SURVEY.md §5).
     """
     x = jnp.asarray(x, jnp.float32)
     kernel = jnp.asarray(kernel, jnp.float32)
@@ -29,23 +30,21 @@ def fft_convolve_causal(x, kernel, block: int = 1 << 17):
     K = kernel.shape[0]
     if K == 0:
         return jnp.zeros_like(x)
-    block = max(block, K)
     nfft = 1
-    while nfft < block + K - 1:
+    while nfft < max(2 * (K - 1), min(2 * block, 2 * N), 16):
         nfft *= 2
-    nblocks = (N + block - 1) // block
-    pad_n = nblocks * block
+    hop = nfft // 2                     # K - 1 <= hop by construction
+    nblocks = (N + hop - 1) // hop
+    pad_n = nblocks * hop
     xp = jnp.zeros(pad_n, jnp.float32).at[:N].set(x)
-    frames = xp.reshape(nblocks, block)
+    frames = xp.reshape(nblocks, hop)
     Kf = jnp.fft.rfft(kernel, n=nfft)
     Y = jnp.fft.irfft(jnp.fft.rfft(frames, n=nfft, axis=-1) * Kf[None, :],
                       n=nfft, axis=-1)
-    # overlap-add block results at stride `block`
-    out = jnp.zeros(pad_n + nfft, jnp.float32)
-    idx = (jnp.arange(nblocks)[:, None] * block
-           + jnp.arange(nfft)[None, :]).reshape(-1)
-    out = out.at[idx].add(Y.reshape(-1))
-    return out[:N]
+    # out[b*hop : (b+1)*hop] = Y[b, :hop] + Y[b-1, hop:]
+    h1 = Y[:, :hop]
+    h2 = jnp.concatenate([jnp.zeros((1, hop), jnp.float32), Y[:-1, hop:]])
+    return (h1 + h2).reshape(-1)[:N]
 
 
 def er_tap_kernel(taps: int, max_ms: float, sr: int, seed: int) -> np.ndarray:
