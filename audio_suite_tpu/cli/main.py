@@ -20,8 +20,6 @@ import argparse
 import json
 import sys
 
-import numpy as np
-
 
 def _floats(s):
     return [float(x) for x in s.split(",") if x.strip()]

@@ -15,7 +15,7 @@ seeded NumPy Generator so the NumPy oracle consumes identical draws.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import numpy as np

@@ -14,10 +14,11 @@ oracle (oracles/tape_ref.py).  Two engines are provided:
 
 - :func:`tape_scan_render` — ``lax.scan`` over samples, handles every feature
   (including inertia, whose speed recurrence is inherently sequential).
-- :func:`tape_segment_render` (below) — the fast path for the common
-  inertia-off case: section-crossing discovery via windowed monotone prefix
-  sums, then fully vectorized sampling.  Bit-identical outputs to the scan
-  engine by construction (same quantized increments).
+- :func:`tape_segment_render` (below) — the default engine: the full
+  control path (section crossings, quantized inertia, splice triggers,
+  anti-click gains) is computed on the host — C++ (native/ast_runtime.cpp)
+  with a NumPy fallback — and the device runs one parallel gather kernel.
+  Decision-bit-identical to the scan engine (same quantized integers).
 """
 from __future__ import annotations
 
