@@ -198,3 +198,27 @@ def test_all_reference_presets_load():
         p.max_grains = min(p.max_grains, 4)
         prog = ms.build_program(p)
         assert prog["out_n"] > 0
+
+
+@pytest.mark.skipif(not os.path.isdir(PRESET_DIR),
+                    reason="reference presets not mounted")
+def test_all_reference_presets_render():
+    """Every reference preset renders end-to-end (scaled to 50 ms / 2 grains
+    so the suite stays fast — generator mode, unfold factor, FX switches and
+    the rest of the preset are exercised unchanged)."""
+    paths = sorted(glob.glob(os.path.join(PRESET_DIR, "*.json")))
+    rng = np.random.default_rng(1)
+    ir = (rng.standard_normal(2048) * 0.3).astype(np.float32)
+    img = rng.integers(0, 256, size=(16, 32)).astype(np.float64)
+    rendered = 0
+    for path in paths:
+        with open(path) as f:
+            p = ms.MicrosoundParams.from_dict(json.load(f))
+        p.out_dur_s = 0.05
+        p.max_grains = 2
+        p.micro_ms = min(p.micro_ms, 2.0)
+        out, meta = ms.render(p, ir_audio=ir, img_gray=img)
+        assert out.shape[0] == int(round(0.05 * p.base_sr)), path
+        assert np.isfinite(out).all(), path
+        rendered += 1
+    assert rendered >= 20
