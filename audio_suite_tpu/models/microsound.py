@@ -562,20 +562,28 @@ def _one_grain(ev: dict, cfg: ChainCfg):
     gsr = ev["gen_sr"]
     x = _generate(ev, cfg)
 
-    if cfg.bandlimit_on:
-        x = spectral.lowpass_fft(x, gsr, ev["cutoff_gen"],
-                                 roll=cfg.bandlimit_roll)
-    if cfg.nl_warp_on:
-        x = spectral.fft_warp_power(x, cfg.nl_warp_power)
-    if cfg.cep_warp_on:
-        x = spectral.cepstral_warp(x, cfg.cep_factor)
-
-    if cfg.partial_lock_on:
-        x = spectral.partial_lock_stretch(x, ev["stretch"],
-                                          top_n=cfg.pl_top_n,
-                                          neighborhood=cfg.pl_neigh)
+    fuse = (cfg.bandlimit_on and not cfg.nl_warp_on and not cfg.cep_warp_on
+            and not cfg.partial_lock_on)
+    if fuse:
+        # lowpass + stretch share the rfft domain: one spectral pass
+        x = spectral.lowpass_stretch_fused(x, gsr, ev["cutoff_gen"],
+                                           ev["stretch"],
+                                           roll=cfg.bandlimit_roll)
     else:
-        x = spectral.fft_partial_stretch(x, ev["stretch"])
+        if cfg.bandlimit_on:
+            x = spectral.lowpass_fft(x, gsr, ev["cutoff_gen"],
+                                     roll=cfg.bandlimit_roll)
+        if cfg.nl_warp_on:
+            x = spectral.fft_warp_power(x, cfg.nl_warp_power)
+        if cfg.cep_warp_on:
+            x = spectral.cepstral_warp(x, cfg.cep_factor)
+
+        if cfg.partial_lock_on:
+            x = spectral.partial_lock_stretch(x, ev["stretch"],
+                                              top_n=cfg.pl_top_n,
+                                              neighborhood=cfg.pl_neigh)
+        else:
+            x = spectral.fft_partial_stretch(x, ev["stretch"])
 
     if cfg.res_on:
         y = generators.resonator_bank(x, i, n, ev["inv_gen_sr"], ev["res_f"],

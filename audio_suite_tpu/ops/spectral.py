@@ -162,6 +162,32 @@ def fft_warp_power(x, power):
     return jnp.fft.irfft(Y, n=L).astype(jnp.float32)
 
 
+def lowpass_stretch_fused(x, sr, cutoff, factor, roll=0.0):
+    """lowpass_fft followed by fft_partial_stretch in ONE spectral pass
+    (2 transforms instead of 4): the irfft/rfft round-trip between them is
+    the identity up to f32 rounding, so fusing matches the sequential pair
+    within ~1 ulp (the oracle keeps the sequential structure; parity budget
+    is -60 dBFS)."""
+    L = x.shape[-1]
+    nyq = 0.5 * jnp.asarray(sr, jnp.float32)
+    cutoff = jnp.clip(jnp.asarray(cutoff, jnp.float32), 1.0, nyq)
+    roll = jnp.maximum(jnp.asarray(roll, jnp.float32), 0.0)
+    X = jnp.fft.rfft(x)
+    f = _freqs(L, sr)
+    f1 = jnp.minimum(nyq, cutoff + roll)
+    t = (f - cutoff) / jnp.maximum(1e-12, f1 - cutoff)
+    w_roll = 0.5 * (1.0 + jnp.cos(jnp.pi * jnp.clip(t, 0.0, 1.0)))
+    gain_rolloff = jnp.where(f > f1, 0.0, jnp.where(f >= cutoff, w_roll, 1.0))
+    gain_hard = jnp.where(f > cutoff, 0.0, 1.0)
+    Xg = X * jnp.where(roll <= 0, gain_hard, gain_rolloff)
+
+    factor = jnp.asarray(factor, jnp.float32)
+    inv_f = jnp.float32(1.0) / jnp.maximum(1e-12, factor)
+    Y = _lerp_uniform_affine(Xg, inv_f)
+    Z = jnp.where(jnp.abs(factor - 1.0) < 1e-9, Xg, Y)
+    return jnp.fft.irfft(Z, n=L).astype(jnp.float32)
+
+
 def fft_partial_stretch(x, factor):
     """Linear partial stretch via spectrum resampling (main_v2.py:117-128).
     The resample positions k/factor are affine, so the gather-free blockwise

@@ -10,7 +10,7 @@ from __future__ import annotations
 import numpy as np
 
 from audio_suite_tpu.ops.fixq import (
-    POS_FRAC_BITS, POS_ONE, POS_MASK, gather_linear_wrap_np,
+    POS_FRAC_BITS, POS_ONE, gather_linear_wrap_np,
 )
 
 
