@@ -566,8 +566,15 @@ def project_from_dict(d: dict) -> GridProject:
 
 def load_project(path: str) -> GridProject:
     import json
+    import os
     with open(path) as f:
-        return project_from_dict(json.load(f))
+        project = project_from_dict(json.load(f))
+    base = os.path.dirname(os.path.abspath(path))
+    for t in project.tracks:
+        for c in t.cells:
+            if c.path and not os.path.isabs(c.path):
+                c.path = os.path.normpath(os.path.join(base, c.path))
+    return project
 
 
 def save_project(project: GridProject, path: str):

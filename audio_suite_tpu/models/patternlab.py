@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass
+from functools import lru_cache
 from pathlib import Path
 
 import numpy as np
@@ -451,9 +452,6 @@ class MegaDriveInspiredSynth:
         y = fn([b[1] for b in buckets], np.float32(master_gain),
                orbit, base, pos, clen)
         return np.asarray(y, np.float32)
-
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=64)
