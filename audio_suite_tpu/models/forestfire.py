@@ -357,7 +357,8 @@ def _sim_fn(key: tuple, seed: int, n_steps: int, params: ModelParams):
         terrain = terrain_static(params, carry["elev"])
         carry, stats = jax.lax.scan(
             lambda c, k: step_device(c, t0 + k, params, seed, terrain),
-            carry, jnp.arange(n_steps, dtype=jnp.int32))
+            carry, jnp.arange(n_steps, dtype=jnp.int32),
+            unroll=4)
         return carry, stats
 
     return jax.jit(run)

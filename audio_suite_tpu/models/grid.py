@@ -502,6 +502,13 @@ def render_mixdown(project: GridProject,
 
     if not pats:
         mix = np.zeros(n_total, np.float32)
+    elif len(pats) <= 8:
+        # the placed tracks are already materialized on the host (they feed
+        # the mod-source chain); for small projects, re-gathering on device
+        # costs more in index uploads (~16 B/sample/track) than the math —
+        # sum + clip here, exactly the device kernel's arithmetic
+        mix = np.clip(np.sum([pt for pt in placed_tracks if pt.size],
+                             axis=0, dtype=np.float32), -1.0, 1.0)             .astype(np.float32)
     else:
         bases = np.cumsum([0] + [len(p) for p in pats[:-1]])
         flat = np.concatenate(pats).astype(np.float32)

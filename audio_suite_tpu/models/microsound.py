@@ -775,10 +775,24 @@ def _fused_fn(cfg: ChainCfg, fx: FxCfg):
     return jax.jit(run)
 
 
+def _micro_last(prog: dict, cfg: ChainCfg):
+    """Raw generator output of the LAST event (the reference's micro_last
+    microscope buffer, main_v2.py:688,788), truncated to its true length."""
+    last = {k: jnp.asarray(prog[k][-1]) for k in _EV_CHUNK_KEYS
+            if k in prog and k not in ("dust_kmax", "ck_klen", "wg_dmax")
+            and not np.isscalar(prog[k])}
+    x = jax.jit(lambda e: _generate(e, cfg))(last)
+    return np.asarray(x)[: int(prog["n"][-1])]
+
+
 def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
-           event_chunk: int | None = None, progress=None):
+           event_chunk: int | None = None, progress=None,
+           want_micro_last: bool = False):
     """Full Microsound render (main_v2.py:588-792): returns (stereo f32
-    [out_n, 2], meta dict)."""
+    [out_n, 2], meta dict).  meta carries grain_last (the last event's
+    post-chain grain) and, with want_micro_last, micro_last (the raw
+    generator output) — the reference's microscope-view data
+    (main_v2.py:786-791)."""
     p = params
     prog = build_program(p, ir_audio=ir_audio, img_gray=img_gray)
     out_n = prog["out_n"]
@@ -837,6 +851,8 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
                 "events": prog["E"],
                 "grain_last": np.asarray(grain_last),
             }
+            if want_micro_last:
+                meta["micro_last"] = _micro_last(prog, cfg)
             return np.asarray(stereo), meta
         for ci, ch in enumerate(chunks):
             carry, grain_last, out = fn(ch, carry, out)
@@ -855,6 +871,8 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
         "grain_last": (None if grain_last is None
                        else np.asarray(grain_last)),
     }
+    if want_micro_last and prog["E"] > 0:
+        meta["micro_last"] = _micro_last(prog, chain_cfg(p, prog, 1))
     if progress:
         progress(100, "Done.")
     return np.asarray(stereo), meta

@@ -433,15 +433,16 @@ def tape_trajectory(audio_n: int, mod_q, starts, ends, speeds_q, reverse,
 
 
 @jax.jit
-def tape_gather_render(audio, idx0, fr, ga, gs):
-    """Device half of the segment engine: fractional gather + anti-click +
-    splice gains + clip.  Pure elementwise/gather — saturates HBM bandwidth
-    instead of crawling through a sequential scan."""
+def tape_gather_render(audio, idx0, fr, gain):
+    """Device half of the segment engine: fractional gather + combined
+    anti-click*splice gain + clip.  (Combining the two gain multiplies
+    differs from the scan engine by <= 1 ulp of the sample — the parity
+    tests assert <= -120 dBFS.)  Pure elementwise/gather — saturates HBM
+    bandwidth instead of crawling through a sequential scan."""
     n = audio.shape[0]
     idx1 = jnp.minimum(idx0 + 1, n - 1)
     s = (jnp.float32(1.0) - fr) * audio[idx0] + fr * audio[idx1]
-    s = s * ga
-    s = s * gs
+    s = s * gain
     return jnp.clip(s, -1.0, 1.0)
 
 
@@ -458,7 +459,8 @@ def tape_segment_render(audio, mod_q, starts, ends, speeds_q, reverse,
         traj = tape_trajectory(audio.shape[0], mod_q, starts, ends, speeds_q,
                                reverse, boundaries, splice_env.shape[0],
                                consts)
-    # NumPy args transfer bundled with the single jit call
+    # NumPy args transfer bundled with the single jit call; gains combined
+    # host-side to ship one array instead of two
     out = tape_gather_render(audio, traj["idx0"], traj["fr"],
-                             traj["ga"], traj["gs"])
+                             traj["ga"] * traj["gs"])
     return out, traj["final"]

@@ -171,8 +171,9 @@ def bench_grid_forestfire():
     out = {}
 
     def run():
-        import jax.numpy as jnp
-        idxs, valids, gains = [], [], []
+        # same adaptive mix as grid.render_mixdown: placed tracks are
+        # materialized on the host for the mod chain, so small projects sum
+        # there instead of re-gathering on device
         placed = []
         for ti, (t, pat) in enumerate(zip(tracks, pats)):
             speed = None
@@ -187,18 +188,11 @@ def bench_grid_forestfire():
             idx, valid = grid.placement_indices(
                 int(seconds * sr), len(pat), t.start_offset_seconds, sr,
                 True, speed, resets)
-            placed.append(np.where(valid, pat[idx], 0.0).astype(np.float32))
-            idxs.append(idx)
-            valids.append(valid)
-            gains.append(10.0 ** (t.gain_db / 20.0))
-        bases = np.cumsum([0] + [len(p) for p in pats[:-1]])
-        flat = np.concatenate(pats)
-        out["mix"] = np.asarray(grid._mix_kernel(
-            jnp.asarray(flat),
-            jnp.asarray(np.stack([b + i for b, i in zip(bases, idxs)]),
-                        jnp.int32),
-            jnp.asarray(np.stack(valids)),
-            jnp.asarray(gains, jnp.float32)))
+            g = np.float32(10.0 ** (t.gain_db / 20.0))
+            placed.append((np.where(valid, pat[idx], 0.0)
+                           .astype(np.float32)) * g)
+        out["mix"] = np.clip(np.sum(placed, axis=0, dtype=np.float32),
+                             -1.0, 1.0)
         stats = model.simulate(n_ca_steps)
         eng.run_stream(ff.stats_rows_to_dicts(stats), rec.send)
 
