@@ -207,6 +207,54 @@ def build_scrub_program(audio: np.ndarray, cfg: ScrubConfig,
     }
 
 
+def _read_blockwise_multi(audio, whole, frac, head_off_w, span_blocks: int,
+                          read_block: int = 128, chunk: int = 256):
+    """Multi-head variant for INTEGER head offsets: positions of every head
+    share the same in-window locals and fractions (offsets shift the anchor
+    only), so by linearity the one-hot matmul runs ONCE on the SUM of the
+    per-head windows."""
+    n = audio.shape[0]
+    T = whole.shape[0]
+    B = read_block
+    W = 2 * span_blocks * B + 16
+    K = T // B
+    KC = -(-K // chunk) * chunk
+
+    pw = jnp.mod(whole, n).reshape(K, B)
+    fr = (frac.astype(jnp.float32) * fixq.POS_INV_F).reshape(K, B)
+    pad = KC - K
+    if pad:
+        pw = jnp.concatenate([pw, jnp.zeros((pad, B), pw.dtype)])
+        fr = jnp.concatenate([fr, jnp.zeros((pad, B), fr.dtype)])
+    anchor = jnp.mod(pw[:, 0] - jnp.int32(span_blocks * B + 4), n)
+    local = jnp.mod(pw - anchor[:, None], n)
+
+    audio_ext = jnp.concatenate([audio, audio[: W + 2]])
+    widx = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    H = head_off_w.shape[0]
+
+    def do_chunk(_, c):
+        loc = jax.lax.dynamic_slice_in_dim(local, c * chunk, chunk, 0)
+        f = jax.lax.dynamic_slice_in_dim(fr, c * chunk, chunk, 0)
+        anc = jax.lax.dynamic_slice_in_dim(anchor, c * chunk, chunk, 0)
+        Wm = ((widx == loc[:, :, None]).astype(jnp.float32)
+              * (jnp.float32(1.0) - f[:, :, None])
+              + (widx == loc[:, :, None] + 1).astype(jnp.float32)
+              * f[:, :, None])
+        win = jnp.zeros((chunk, W), jnp.float32)
+        for h in range(H):
+            anc_h = jnp.mod(anc + head_off_w[h], n)
+            win = win + jax.vmap(
+                lambda a: jax.lax.dynamic_slice(audio_ext, (a,), (W,)))(anc_h)
+        y = jnp.einsum("kbw,kw->kb", Wm, win,
+                       precision=jax.lax.Precision.HIGHEST)
+        return None, y
+
+    _, ys = jax.lax.scan(do_chunk, None,
+                         jnp.arange(KC // chunk, dtype=jnp.int32))
+    return ys.reshape(-1)[:T]
+
+
 def _read_blockwise(audio, whole, frac, span_blocks: int,
                     read_block: int = 128, chunk: int = 256):
     """Wrap-around fractional read via blockwise one-hot MXU matmuls.
@@ -258,10 +306,12 @@ def _read_blockwise(audio, whole, frac, span_blocks: int,
     return ys.reshape(-1)[:T]
 
 
-@partial(jax.jit, static_argnames=("block_size", "span_blocks"))
+@partial(jax.jit,
+         static_argnames=("block_size", "span_blocks", "heads_integer"))
 def scrub_render_kernel(audio, inc_fix, reset, seg_bases_whole, seg_bases_frac,
                         env_blocks, head_off_whole, head_off_frac, head_gain,
-                        block_size: int, span_blocks: int = 1):
+                        block_size: int, span_blocks: int = 1,
+                        heads_integer: bool = False):
     """Fully parallel scrub render: segmented fixed-point prefix sum
     (exclusive) -> per-head wrap-around fractional read (blockwise MXU, or
     gather fallback for short tapes) -> dropout gain."""
@@ -283,16 +333,21 @@ def scrub_render_kernel(audio, inc_fix, reset, seg_bases_whole, seg_bases_frac,
 
     use_blockwise = (T % 128 == 0) and n > 2 * span_blocks * 128 + 32
 
-    buf = jnp.zeros(T, jnp.float32)
-    for h in range(head_off_whole.shape[0]):
-        f2 = frac + head_off_frac[h]
-        c2 = f2 >> fixq.POS_FRAC_BITS
-        w2 = whole + head_off_whole[h] + c2
-        f2 = f2 - (c2 << fixq.POS_FRAC_BITS)
-        if use_blockwise:
-            buf = buf + _read_blockwise(audio, w2, f2, span_blocks)
-        else:
-            buf = buf + fixq.gather_linear_wrap(audio, w2, f2)
+    if use_blockwise and heads_integer:
+        # integer head offsets: shared one-hot matrix, summed windows
+        buf = _read_blockwise_multi(audio, whole, frac, head_off_whole,
+                                    span_blocks)
+    else:
+        buf = jnp.zeros(T, jnp.float32)
+        for h in range(head_off_whole.shape[0]):
+            f2 = frac + head_off_frac[h]
+            c2 = f2 >> fixq.POS_FRAC_BITS
+            w2 = whole + head_off_whole[h] + c2
+            f2 = f2 - (c2 << fixq.POS_FRAC_BITS)
+            if use_blockwise:
+                buf = buf + _read_blockwise(audio, w2, f2, span_blocks)
+            else:
+                buf = buf + fixq.gather_linear_wrap(audio, w2, f2)
     buf = buf * head_gain
 
     env = jnp.repeat(env_blocks, block_size)
@@ -306,11 +361,13 @@ def render_scrub(audio: np.ndarray, cfg: ScrubConfig, trace: GestureTrace,
     # roundtrip) — never device_put per array
     span = int(np.max(np.abs(prog["inc_fix"])) // fixq.POS_ONE + 1) \
         if len(prog["inc_fix"]) else 1
+    heads_integer = bool(np.all(prog["head_off_frac"] == 0))
     out = scrub_render_kernel(
         prog["audio"], prog["inc_fix"], prog["reset"],
         prog["seg_bases_whole"], prog["seg_bases_frac"], prog["env_blocks"],
         prog["head_off_whole"], prog["head_off_frac"],
         np.float32(prog["head_gain"]), prog["block_size"], span,
+        heads_integer,
     )
     out = np.asarray(out)
     if stereo:
