@@ -10,8 +10,14 @@ PortAudio callback (scrubber_0.7.py:157-235) becomes a fully parallel kernel:
 The GUI/mouse layer is replaced by *scripted gesture traces* (block-rate
 arrays), including the GUI-timer friction decay (scrubber_0.7.py:262-286) and
 RMB position jumps (scrubber_0.7.py:314-317) which become segmented-scan
-resets.  All randomness (stretch jitter, dropouts) is drawn host-side with a
-seeded NumPy Generator so the NumPy oracle consumes identical draws.
+resets.
+
+Per-sample increment synthesis (wow/flutter LFOs, stretch jitter) runs ON
+DEVICE from block-rate parameters: detmath cycle-domain sines + counter
+noise + 12-bit-significand factors make the device increments bit-identical
+to the NumPy twin the oracle consumes (same disciplines as the tape/CA
+engines), so only KBs of control data ship per render.  Dropout gating is
+block-rate host randomness (reference rng), shipped as an envelope.
 """
 from __future__ import annotations
 
@@ -22,7 +28,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import fixq
+from ..ops import detmath, fixq, noise
+from ..ops.fixq import round_sig12, round_sig12_np
 
 # Config constants (scrubber_0.7.py:35-75)
 DEFAULT_HEAD_OFFSETS = (-2000.0, 0.0, 2000.0)
@@ -123,6 +130,50 @@ def scripted_gesture_trace(num_blocks: int, sample_rate: int,
         gesture_speed=gesture, jump=jump)
 
 
+_J_STREAM = 7  # counter-noise stream for stretch jitter
+
+
+def _mod_consts(sr: float) -> dict:
+    """Shared f32 constants for the device/NumPy increment twins."""
+    return {
+        "cw": np.float32(WOW_FREQ / sr),
+        "cf": np.float32(FLUTTER_FREQ / sr),
+        "wd": round_sig12_np(np.float32(WOW_DEPTH)),
+        "fd": round_sig12_np(np.float32(FLUTTER_DEPTH)),
+    }
+
+
+def _inc_np(base_inc_q, js_q, seed, bs, consts):
+    """NumPy twin of the device increment synthesis (bit-identical)."""
+    nb = len(base_inc_q)
+    T = nb * bs
+    i = np.arange(T, dtype=np.uint32)
+    i_f = i.astype(np.float32)
+    sinw = round_sig12_np(detmath.sin_cycles_np(i_f * consts["cw"]))
+    sinf = round_sig12_np(detmath.sin_cycles_np(i_f * consts["cf"]))
+    sf = np.float32(1.0) + consts["wd"] * sinw + consts["fd"] * sinf
+    nz = round_sig12_np(noise.normal_np(np.uint32(seed), i,
+                                        np.uint32(_J_STREAM)))
+    jf = np.float32(1.0) + np.repeat(js_q, bs) * nz
+    inc_f = np.repeat(base_inc_q, bs) * (sf * jf)
+    return np.rint(inc_f * np.float32(fixq.POS_ONE)).astype(np.int32)
+
+
+def _inc_device(base_inc_q, js_q, seed, bs: int, consts):
+    """Device twin of _inc_np."""
+    nb = base_inc_q.shape[0]
+    T = nb * bs
+    i = jnp.arange(T, dtype=jnp.uint32)
+    i_f = i.astype(jnp.float32)
+    sinw = round_sig12(detmath.sin_cycles(i_f * consts[0]))
+    sinf = round_sig12(detmath.sin_cycles(i_f * consts[1]))
+    sf = jnp.float32(1.0) + consts[2] * sinw + consts[3] * sinf
+    nz = round_sig12(noise.normal(jnp.uint32(seed), i, jnp.uint32(_J_STREAM)))
+    jf = jnp.float32(1.0) + jnp.repeat(js_q, bs) * nz
+    inc_f = jnp.repeat(base_inc_q, bs) * (sf * jf)
+    return jnp.rint(inc_f * jnp.float32(fixq.POS_ONE)).astype(jnp.int32)
+
+
 def build_scrub_program(audio: np.ndarray, cfg: ScrubConfig,
                         trace: GestureTrace, tape_pos0: float = 0.0) -> dict:
     """Expand the block-rate trace into per-sample quantized increments and
@@ -140,23 +191,19 @@ def build_scrub_program(audio: np.ndarray, cfg: ScrubConfig,
     total = np.clip(total, -MAX_TAPE_SPEED, MAX_TAPE_SPEED)
     base_inc = total / sr                              # samples per out sample
 
-    # --- per-sample speed factor: wow/flutter LFOs (scrubber_0.7.py:182-194)
-    i = np.arange(T, dtype=np.float64)
-    t = i / sr
-    speed_factor = (1.0 + WOW_DEPTH * np.sin(2 * np.pi * WOW_FREQ * t)
-                    + FLUTTER_DEPTH * np.sin(2 * np.pi * FLUTTER_FREQ * t))
-    speed_factor = speed_factor.reshape(nb, bs)
+    # --- block-rate parameters for the on-device increment synthesis ---
+    base_inc_q = round_sig12_np(np.asarray(base_inc, np.float32))
+    js_q = np.zeros(nb, np.float32)
+    if cfg.stretch_jitter and STRETCH_DEPTH > 0.0:
+        moving = np.abs(total) > 1.0
+        js = STRETCH_DEPTH * np.tanh(np.abs(total) / STRETCH_SPEED_SCALE)
+        js_q = np.where(moving, round_sig12_np(js.astype(np.float32)),
+                        np.float32(0.0)).astype(np.float32)
 
     env = np.ones(nb, np.float32)
     dropout_active = False
     dropout_blocks_left = 0
     for b in range(nb):
-        # stretch jitter drawn per block when moving (order matches
-        # scrubber_0.7.py:191-194)
-        if cfg.stretch_jitter and abs(total[b]) > 1.0 and STRETCH_DEPTH > 0.0:
-            js = STRETCH_DEPTH * np.tanh(abs(total[b]) / STRETCH_SPEED_SCALE)
-            noise = js * rng.standard_normal(bs)
-            speed_factor[b] *= (1.0 + noise)
         # block dropout state machine (scrubber_0.7.py:212-225)
         if cfg.dropouts:
             if dropout_active:
@@ -172,17 +219,20 @@ def build_scrub_program(audio: np.ndarray, cfg: ScrubConfig,
                         DROPOUT_MIN_BLOCKS, DROPOUT_MAX_BLOCKS + 1))
                     env[b] = 1.0 - DROPOUT_DEPTH
 
-    increments = (base_inc[:, None] * speed_factor).reshape(T)
-    inc_fix = fixq.to_fix_np(np.asarray(increments, np.float32))
+    consts = _mod_consts(sr)
+    # NumPy twin of the device increments (oracle input + span bound)
+    inc_fix = _inc_np(base_inc_q, js_q, cfg.seed, bs, consts)
 
-    # --- jumps -> segmented-scan resets ---
+    # --- jumps -> segmented-scan resets (block-aligned) ---
     reset = np.zeros(T, np.bool_)
+    jump_flags = np.zeros(nb, np.bool_)
     w0, f0 = fixq.split_pos_np(tape_pos0)
     seg_bases_w = [w0]
     seg_bases_f = [f0]
     for b in range(nb):
         if np.isfinite(trace.jump[b]):
             reset[b * bs] = True
+            jump_flags[b] = True
             jw, jf = fixq.split_pos_np(trace.jump[b])
             seg_bases_w.append(jw)
             seg_bases_f.append(jf)
@@ -194,8 +244,14 @@ def build_scrub_program(audio: np.ndarray, cfg: ScrubConfig,
 
     return {
         "audio": audio,
-        "inc_fix": inc_fix,
+        "inc_fix": inc_fix,           # NumPy twin (oracle); device recomputes
+        "base_inc_q": base_inc_q,
+        "js_q": js_q,
+        "seed": int(cfg.seed),
+        "mod_consts": np.asarray([consts["cw"], consts["cf"],
+                                  consts["wd"], consts["fd"]], np.float32),
         "reset": reset,
+        "jump_flags": jump_flags,
         "seg_bases_whole": np.asarray(seg_bases_w, np.int32),
         "seg_bases_frac": np.asarray(seg_bases_f, np.int32),
         "env_blocks": env,
@@ -308,15 +364,22 @@ def _read_blockwise(audio, whole, frac, span_blocks: int,
 
 @partial(jax.jit,
          static_argnames=("block_size", "span_blocks", "heads_integer"))
-def scrub_render_kernel(audio, inc_fix, reset, seg_bases_whole, seg_bases_frac,
+def scrub_render_kernel(audio, base_inc_q, js_q, seed, mod_consts,
+                        jump_flags, seg_bases_whole, seg_bases_frac,
                         env_blocks, head_off_whole, head_off_frac, head_gain,
                         block_size: int, span_blocks: int = 1,
                         heads_integer: bool = False):
-    """Fully parallel scrub render: segmented fixed-point prefix sum
-    (exclusive) -> per-head wrap-around fractional read (blockwise MXU, or
-    gather fallback for short tapes) -> dropout gain."""
-    T = inc_fix.shape[0]
+    """Fully parallel scrub render: on-device increment synthesis (detmath
+    LFOs + counter-noise jitter, bit-identical to the NumPy twin) ->
+    segmented fixed-point prefix sum (exclusive) -> per-head wrap-around
+    fractional read (blockwise MXU, or gather fallback for short tapes) ->
+    dropout gain."""
+    nb = base_inc_q.shape[0]
+    T = nb * block_size
     n = audio.shape[0]
+    inc_fix = _inc_device(base_inc_q, js_q, seed, block_size, mod_consts)
+    reset = jnp.zeros((nb, block_size), jnp.bool_) \
+        .at[:, 0].set(jump_flags).reshape(-1)
     # exclusive prefix: position at sample i excludes its own increment
     inc_shift = jnp.concatenate([jnp.zeros(1, jnp.int32), inc_fix[:-1]])
     # don't carry the pre-jump increment across a jump boundary
@@ -363,7 +426,8 @@ def render_scrub(audio: np.ndarray, cfg: ScrubConfig, trace: GestureTrace,
         if len(prog["inc_fix"]) else 1
     heads_integer = bool(np.all(prog["head_off_frac"] == 0))
     out = scrub_render_kernel(
-        prog["audio"], prog["inc_fix"], prog["reset"],
+        prog["audio"], prog["base_inc_q"], prog["js_q"],
+        np.uint32(prog["seed"]), prog["mod_consts"], prog["jump_flags"],
         prog["seg_bases_whole"], prog["seg_bases_frac"], prog["env_blocks"],
         prog["head_off_whole"], prog["head_off_frac"],
         np.float32(prog["head_gain"]), prog["block_size"], span,

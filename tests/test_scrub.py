@@ -107,3 +107,28 @@ def test_friction_decay():
     peak = np.max(np.abs(g))
     assert peak > 0
     assert abs(g[-1]) < peak * 0.01  # decayed to ~nothing
+
+
+def test_device_increment_twin_bit_exact(audio):
+    """The on-device increment synthesis must equal the NumPy twin the
+    oracle consumes, bit for bit."""
+    import jax
+    from audio_suite_tpu.models.scrub import _inc_device, _inc_np, _mod_consts
+    import jax.numpy as jnp
+
+    sr = 44100
+    nb, bs = 37, 1024
+    rng = np.random.default_rng(0)
+    base = scrub.fixq.round_sig12_np(
+        rng.uniform(-0.9, 0.9, nb).astype(np.float32)) \
+        if hasattr(scrub, "fixq") else None
+    from audio_suite_tpu.ops.fixq import round_sig12_np
+    base = round_sig12_np(rng.uniform(-0.9, 0.9, nb).astype(np.float32))
+    js = round_sig12_np(rng.uniform(0, 0.007, nb).astype(np.float32))
+    c = _mod_consts(sr)
+    a = _inc_np(base, js, 42, bs, c)
+    cj = jnp.asarray([c["cw"], c["cf"], c["wd"], c["fd"]], jnp.float32)
+    b = np.asarray(jax.jit(
+        lambda: _inc_device(jnp.asarray(base), jnp.asarray(js),
+                            np.uint32(42), bs, cj))())
+    assert np.array_equal(a, b)
