@@ -129,14 +129,23 @@ def cmd_patternlab(args):
     else:
         cfg = pl.RenderConfig(seconds=args.seconds, bpm=args.bpm,
                               seed=args.seed or 1)
+        gen_kwargs = {}
+        for spec in args.gen or []:
+            k, v = spec.split("=", 1)
+            try:
+                v = json.loads(v)
+            except json.JSONDecodeError:
+                pass
+            gen_kwargs[k] = v
         if args.script:
             from ..plugins.host import (ensure_pattern_lab_examples_importable,
                                         load_script_generator)
             ensure_pattern_lab_examples_importable()
             from pathlib import Path
-            events = load_script_generator(Path(args.script))(cfg)
+            events = load_script_generator(Path(args.script))(cfg,
+                                                              **gen_kwargs)
         else:
-            events = pl.generate(args.generator, cfg)
+            events = pl.generate(args.generator, cfg, **gen_kwargs)
         y, events = pl.render(events, cfg)
         sr = cfg.sample_rate
     audio_io.write_wav(args.out, y, sr)
@@ -261,6 +270,9 @@ def build_parser():
     pl.add_argument("--preset", help="{name, generator, cfg, gen} JSON")
     pl.add_argument("--generator", default="Glass Cells")
     pl.add_argument("--script", help="user generator script (.py)")
+    pl.add_argument("--gen", action="append",
+                    help="generator kwarg key=value (repeatable; value "
+                         "parsed as JSON when possible)")
     pl.add_argument("--seconds", type=float, default=8.0)
     pl.add_argument("--bpm", type=float, default=120.0)
     pl.add_argument("--seed", type=int)

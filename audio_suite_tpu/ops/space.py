@@ -29,8 +29,12 @@ def fft_convolve_causal(x, kernel, block: int = 1 << 17):
     K = kernel.shape[0]
     if K == 0:
         return jnp.zeros_like(x)
+    # cap the FFT size: TPU's batched padded rfft produces garbage beyond
+    # ~2^17 total points per transform (observed NaNs at (11, 131072)->
+    # 262144 on v5e); 2^16 keeps a wide safety margin and the extra blocks
+    # are cheap
     nfft = 1
-    while nfft < max(2 * (K - 1), min(2 * block, 2 * N), 16):
+    while nfft < max(2 * (K - 1), min(2 * block, 2 * N, 1 << 16), 16):
         nfft *= 2
     hop = nfft // 2                     # K - 1 <= hop by construction
     nblocks = (N + hop - 1) // hop

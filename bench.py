@@ -13,9 +13,14 @@ import time
 import numpy as np
 
 
-def _time_best(fn, repeats=3):
-    """Best wall-clock of `repeats` timed runs after one warmup/compile."""
+def _time_best(fn, repeats=3, check=None):
+    """Best wall-clock of `repeats` timed runs after one warmup/compile.
+    `check` (outputs dict) is asserted finite after the warmup so silent
+    device NaNs can't masquerade as throughput."""
     fn()
+    if check is not None:
+        for k, v in check.items():
+            assert np.isfinite(np.asarray(v)).all(), f"non-finite {k}"
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -56,7 +61,7 @@ def bench_tape():
     def run():
         out["y"] = tape.render_tape(audio, params, frames)
 
-    wall = _time_best(run)
+    wall = _time_best(run, check=out)
     return (frames / sr) / wall
 
 
@@ -78,7 +83,7 @@ def bench_scrub():
     def run():
         out["y"] = scrub.render_scrub(audio, cfg, trace)
 
-    wall = _time_best(run)
+    wall = _time_best(run, check=out)
     return (blocks * scrub.BLOCK_SIZE / sr) / wall
 
 
@@ -104,7 +109,7 @@ def bench_microsound():
     def run():
         out["y"], _ = ms.render(p, ir_audio=ir)
 
-    wall = _time_best(run, repeats=2)
+    wall = _time_best(run, repeats=2, check=out)
     return seconds / wall
 
 
@@ -124,7 +129,7 @@ def bench_patternlab():
     def run():
         out["y"], _ = pl.render(events, cfg)
 
-    wall = _time_best(run, repeats=2)
+    wall = _time_best(run, repeats=2, check=out)
     return cfg.seconds / wall
 
 
@@ -196,7 +201,7 @@ def bench_grid_forestfire():
         stats = model.simulate(n_ca_steps)
         eng.run_stream(ff.stats_rows_to_dicts(stats), rec.send)
 
-    wall = _time_best(run, repeats=2)
+    wall = _time_best(run, repeats=2, check=out)
     return seconds / wall
 
 
