@@ -58,7 +58,11 @@ def masked_conv_same(x, kernel, klen):
     L = x.shape[-1]
     K = kernel.shape[-1]
     k = jnp.where(jnp.arange(K) < klen, kernel, 0.0)
-    full = jnp.convolve(x, k, mode="full")           # length L + K - 1
+    # precision: TPU lowers convolve onto the MXU in bf16 by default —
+    # ~1e-3 relative error, which blew the -60 dBFS budget (found by an
+    # on-TPU parity check); HIGHEST keeps f32 fidelity
+    full = jnp.convolve(x, k, mode="full",
+                        precision=jax.lax.Precision.HIGHEST)
     start = (klen - 1) // 2                          # np 'same' offset
     full = jnp.concatenate([full, jnp.zeros(K, x.dtype)])
     return jax.lax.dynamic_slice(full, (start,), (L,))
