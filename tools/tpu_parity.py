@@ -1,0 +1,104 @@
+"""On-hardware parity sweep: every engine vs its NumPy oracle on the
+CURRENT default JAX device (run on the real TPU; the CPU test suite cannot
+catch TPU-only numerics — this sweep caught jnp.convolve silently lowering
+to bf16 on the MXU at -51 dBFS).
+
+    python tools/tpu_parity.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from audio_suite_tpu.utils.metrics import max_dev_dbfs  # noqa: E402
+
+
+def main():
+    import jax
+    print(f"device: {jax.devices()[0]}")
+    failures = []
+
+    def report(tag, dev, limit=-60.0):
+        ok = dev <= limit
+        print(f"{tag:<28} {dev:8.1f} dBFS   {'OK' if ok else 'FAIL'}")
+        if not ok:
+            failures.append(tag)
+
+    sr = 48000
+    rng = np.random.default_rng(7)
+    t = np.arange(sr * 2) / sr
+    audio = (0.5 * np.sin(2 * np.pi * 220 * t)
+             + 0.1 * rng.standard_normal(t.size)).astype(np.float32)
+
+    from audio_suite_tpu.models import tape
+    from oracles.tape_ref import render_tape_np
+    p = tape.TapeParams(sample_rate=sr, markers=[30000, 60000],
+                        section_speeds=[1.0, 2.5, 0.4],
+                        section_reverse=[False, True, False],
+                        tape_age=70, inertia_enabled=True, inertia_amount=50)
+    prog = tape.build_tape_program(audio, p, 40000)
+    report("tape (inertia/splice/rev)",
+           max_dev_dbfs(tape.render_tape(audio, p, 40000),
+                        render_tape_np(prog)), -120.0)
+
+    from audio_suite_tpu.models import scrub
+    from oracles.scrub_ref import render_scrub_np
+    cfg = scrub.ScrubConfig(sample_rate=sr, seed=5, head_count=3)
+    trace = scrub.scripted_gesture_trace(
+        40, sr, drag_events=[(0.2, 5.0, 0.3)], base_speed=0.5,
+        jumps=[(0.5, 9000.0)])
+    sprog = scrub.build_scrub_program(audio, cfg, trace)
+    report("scrub (3 heads/jump)",
+           max_dev_dbfs(scrub.render_scrub(audio, cfg, trace),
+                        render_scrub_np(sprog)), -120.0)
+
+    from audio_suite_tpu.models import microsound as ms
+    from oracles.microsound_ref import render_ref
+    for mode in ("Noise burst", "Micro-chaos", "Dust impulses",
+                 "Crackle / corona", "Wavelet atoms", "Stick–slip friction"):
+        mp = ms.MicrosoundParams.from_dict(dict(
+            base_sr=8000, out_dur_s=0.4, time_unfold=2.0, micro_ms=4.0,
+            seed=4242, grains_per_sec=20.0, max_grains=64, gen_mode=mode,
+            bandlimit_on=True, bandlimit_out_hz=3000.0,
+            bandlimit_roll_hz=500.0, er_cloud_on=True, er_taps=64,
+            er_max_ms=20.0, stereo_on=True, partial_stretch=1.5,
+            bp_density="", bp_unfold="", bp_cutoff="", bp_stretch=""))
+        mprog = ms.build_program(mp)
+        out, _ = ms.render(mp)
+        report(f"microsound {mode[:16]}",
+               max_dev_dbfs(out, render_ref(mp, mprog)))
+
+    from audio_suite_tpu.models import patternlab as pl
+    from oracles.patternlab_ref import render_np
+    rc = pl.RenderConfig(sample_rate=22050, seconds=1.0, bpm=140, seed=4)
+    events = pl.generate("Glass Cells", rc) + pl.generate("Fibonacci Gate",
+                                                          rc)[:20]
+    y, ev = pl.render(events, rc)
+    report("patternlab FM+PSG", max_dev_dbfs(y, render_np(ev, rc)))
+
+    from audio_suite_tpu.models import forestfire as ff
+    from oracles.forestfire_ref import simulate_np
+    model = ff.ForestFireModel(ff.ModelParams(w=64, h=48), seed=3)
+    model.ignite_at(30, 20, radius=3)
+    carry0 = {k: (v.copy() if isinstance(v, np.ndarray) else v)
+              for k, v in model._np.items()}
+    stats = model.simulate(60)
+    _, stats_ref = simulate_np(carry0, 60, ff.ModelParams(w=64, h=48),
+                               seed=3)
+    exact = bool(np.array_equal(stats, stats_ref))
+    print(f"{'forestfire CA (60 steps)':<28} "
+          f"{'bit-exact' if exact else 'DIVERGED':>13}   "
+          f"{'OK' if exact else 'FAIL'}")
+    if not exact:
+        failures.append("forestfire")
+
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("all engines within budget on this device")
+
+
+if __name__ == "__main__":
+    main()
