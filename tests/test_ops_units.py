@@ -161,3 +161,34 @@ def test_spectral_filters_vs_numpy():
             jnp.asarray(x)))
         b = _bandpass_fft(x.astype(np.float64), sr, lo, hi, roll)
         assert float(np.max(np.abs(a - b))) < 1e-5, (lo, hi, roll)
+
+
+def test_adsr_clamped_edge_cases_vs_oracle():
+    """The vectorized stage-clamped ADSR vs the reference-exact sequential
+    implementation across edge cases: note shorter than attack, than A+D,
+    zero-ish stages, sustain-absorbing long notes."""
+    from audio_suite_tpu.ops.envelopes import adsr_clamped
+    from oracles.patternlab_ref import _adsr_env
+
+    sr = 8000
+    L = 4096
+    i = jnp.arange(L, dtype=jnp.int32)
+    cases = [
+        # (n, a, d, s, r)
+        (8, 0.01, 0.2, 0.6, 0.1),       # shorter than attack
+        (100, 0.01, 0.2, 0.6, 0.1),     # inside decay
+        (900, 0.01, 0.05, 0.5, 0.05),   # inside release
+        (4000, 0.01, 0.05, 0.5, 0.05),  # long sustain
+        (300, 0.004, 1e-4, 0.0, 0.008), # minimum stages, zero sustain
+        (50, 0.004, 1e-4, 1.0, 0.008),  # full sustain level
+    ]
+    for n, a, d, s, r in cases:
+        A = int(sr * max(0.004, a))
+        D = int(sr * max(1e-4, d))
+        R = int(sr * max(0.008, r))
+        got = np.asarray(jax.jit(
+            lambda: adsr_clamped(i, jnp.int32(n), jnp.int32(A), jnp.int32(D),
+                                 jnp.int32(R), jnp.float32(s)))())
+        want = np.zeros(L, np.float32)
+        want[:n] = _adsr_env(n, sr, a, d, s, r, 0.004, 0.008)
+        assert np.max(np.abs(got - want)) < 1e-6, (n, a, d, s, r)
