@@ -44,7 +44,7 @@ def bench_tape():
     from audio_suite_tpu.models import tape
 
     sr = 48000
-    seconds = 20.0
+    seconds = 180.0        # BASELINE.json config 1: "chop 3-min WAV"
     audio = _test_audio(sr, seconds)
     n = len(audio)
     markers = [int(n * f) for f in (0.12, 0.3, 0.45, 0.6, 0.8)]
