@@ -130,8 +130,13 @@ class Track:
         return float(self.measures) * (60.0 / bpm) * beats
 
     def build_divisions(self) -> List[float]:
-        """Uniform N, or sandboxed exec of user `divisions(total)`,
-        normalized to sum == total (grid_audio_app.py:196-213)."""
+        """Uniform N, or exec of user `divisions(total)` code, normalized
+        to sum == total (grid_audio_app.py:196-213).
+
+        The restricted-builtins dict mirrors the reference's whitelist but
+        is NOT a security sandbox (escapable via object introspection, as
+        in the reference): project files are trusted input, exactly like
+        the reference's plugin cells."""
         total = self.total_duration()
         if total <= 0:
             return []
@@ -365,20 +370,22 @@ def placement_indices(n_total: int, pat_n: int, start_offset_seconds: float,
     resets via segmented cumulative sums."""
     start_idx = int(round(start_offset_seconds * sr))
 
-    # native sequential twin (exactly the reference loop, ~100x NumPy)
-    from ..utils import native_rt
-    pre = 0.0
+    # initial phase for negative offsets (:792-798)
+    pre_phase = 0.0
     if start_idx < 0:
         prelen = -start_idx
         if speed is None:
-            pre = float(prelen)
+            pre_phase = float(prelen)
         else:
-            pre = float(np.sum(np.asarray(speed[:min(prelen, len(speed))],
-                                          np.float64)))
+            pre_phase = float(np.sum(np.asarray(
+                speed[: min(prelen, len(speed))], np.float64)))
+
+    # native sequential twin (exactly the reference loop, ~100x NumPy)
+    from ..utils import native_rt
     nat = native_rt.grid_placement(n_total, pat_n, start_idx,
                                    bool(loop_to_master), speed,
                                    set(int(r) for r in reset_samples
-                                       if 0 <= r < n_total), pre)
+                                       if 0 <= r < n_total), pre_phase)
     if nat is not None:
         return nat
 
@@ -393,16 +400,6 @@ def placement_indices(n_total: int, pat_n: int, start_offset_seconds: float,
         inc[:m] = np.asarray(speed[:m], np.float64)
     inc_eff = np.where(i - start_idx >= 0, inc, 0.0)
     C = np.concatenate([[0.0], np.cumsum(inc_eff)])    # C[i] = sum inc[<i]
-
-    # initial phase for negative offsets (:792-798)
-    pre_phase = 0.0
-    if start_idx < 0:
-        pre = -start_idx
-        if speed is None:
-            pre_phase = float(pre)
-        else:
-            pre_phase = float(np.sum(np.asarray(
-                speed[: min(pre, len(speed))], np.float64)))
 
     resets = np.asarray(sorted(r for r in reset_samples
                                if 0 <= r < n_total), np.int64)

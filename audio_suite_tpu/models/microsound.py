@@ -736,9 +736,8 @@ def fx_body(cfg: FxCfg):
         a, d, s, r, curve = cfg.env
         env = envelopes.make_adsr(cfg.out_n, cfg.sr, a, d, s, r, curve)
         out = out * env
-        if cfg.er_on and cfg.ir_on:
-            out = space.fft_convolve_causal(out, er_kernel)
-        elif cfg.er_on:
+        if cfg.er_on:
+            # er_kernel is already conv(er, ir) when the IR is also on
             out = space.fft_convolve_causal(out, er_kernel)
         elif cfg.ir_on:
             out = space.fft_convolve_causal(out, ir_kernel)

@@ -134,12 +134,19 @@ _J_STREAM = 7  # counter-noise stream for stretch jitter
 
 
 def _mod_consts(sr: float) -> dict:
-    """Shared f32 constants for the device/NumPy increment twins."""
+    """Shared constants for the device/NumPy increment twins.  LFO phases
+    use detmath.phase_ratio integer reduction (exact at any sample index;
+    an f32 arange degrades past 2**24 samples)."""
+    if float(sr) != float(int(sr)):
+        raise ValueError("scrub requires an integer sample rate")
+    wn, wm, winv = detmath.phase_ratio(1, 2, int(sr))    # 0.5 Hz wow
+    fn, fm, finv = detmath.phase_ratio(6, 1, int(sr))    # 6 Hz flutter
     return {
-        "cw": np.float32(WOW_FREQ / sr),
-        "cf": np.float32(FLUTTER_FREQ / sr),
-        "wd": round_sig12_np(np.float32(WOW_DEPTH)),
-        "fd": round_sig12_np(np.float32(FLUTTER_DEPTH)),
+        "ints": np.asarray([wn, wm, fn, fm], np.uint32),
+        "flts": np.asarray([winv, finv,
+                            round_sig12_np(np.float32(WOW_DEPTH)),
+                            round_sig12_np(np.float32(FLUTTER_DEPTH))],
+                           np.float32),
     }
 
 
@@ -148,10 +155,12 @@ def _inc_np(base_inc_q, js_q, seed, bs, consts):
     nb = len(base_inc_q)
     T = nb * bs
     i = np.arange(T, dtype=np.uint32)
-    i_f = i.astype(np.float32)
-    sinw = round_sig12_np(detmath.sin_cycles_np(i_f * consts["cw"]))
-    sinf = round_sig12_np(detmath.sin_cycles_np(i_f * consts["cf"]))
-    sf = np.float32(1.0) + consts["wd"] * sinw + consts["fd"] * sinf
+    ci, cf_ = consts["ints"], consts["flts"]
+    sinw = round_sig12_np(detmath.sin_cycles_np(
+        detmath.phase_cycles_np(i, ci[0], ci[1], cf_[0])))
+    sinf = round_sig12_np(detmath.sin_cycles_np(
+        detmath.phase_cycles_np(i, ci[2], ci[3], cf_[1])))
+    sf = np.float32(1.0) + cf_[2] * sinw + cf_[3] * sinf
     nz = round_sig12_np(noise.normal_np(np.uint32(seed), i,
                                         np.uint32(_J_STREAM)))
     jf = np.float32(1.0) + np.repeat(js_q, bs) * nz
@@ -164,10 +173,12 @@ def _inc_device(base_inc_q, js_q, seed, bs: int, consts):
     nb = base_inc_q.shape[0]
     T = nb * bs
     i = jnp.arange(T, dtype=jnp.uint32)
-    i_f = i.astype(jnp.float32)
-    sinw = round_sig12(detmath.sin_cycles(i_f * consts[0]))
-    sinf = round_sig12(detmath.sin_cycles(i_f * consts[1]))
-    sf = jnp.float32(1.0) + consts[2] * sinw + consts[3] * sinf
+    ci, cf_ = consts
+    sinw = round_sig12(detmath.sin_cycles(
+        detmath.phase_cycles(i, ci[0], ci[1], cf_[0])))
+    sinf = round_sig12(detmath.sin_cycles(
+        detmath.phase_cycles(i, ci[2], ci[3], cf_[1])))
+    sf = jnp.float32(1.0) + cf_[2] * sinw + cf_[3] * sinf
     nz = round_sig12(noise.normal(jnp.uint32(seed), i, jnp.uint32(_J_STREAM)))
     jf = jnp.float32(1.0) + jnp.repeat(js_q, bs) * nz
     inc_f = jnp.repeat(base_inc_q, bs) * (sf * jf)
@@ -248,8 +259,7 @@ def build_scrub_program(audio: np.ndarray, cfg: ScrubConfig,
         "base_inc_q": base_inc_q,
         "js_q": js_q,
         "seed": int(cfg.seed),
-        "mod_consts": np.asarray([consts["cw"], consts["cf"],
-                                  consts["wd"], consts["fd"]], np.float32),
+        "mod_consts": (consts["ints"], consts["flts"]),
         "reset": reset,
         "jump_flags": jump_flags,
         "seg_bases_whole": np.asarray(seg_bases_w, np.int32),
@@ -424,6 +434,10 @@ def render_scrub(audio: np.ndarray, cfg: ScrubConfig, trace: GestureTrace,
     # roundtrip) — never device_put per array
     span = int(np.max(np.abs(prog["inc_fix"])) // fixq.POS_ONE + 1) \
         if len(prog["inc_fix"]) else 1
+    # round the static span up to a power of two: span only needs to UPPER-
+    # bound per-sample movement, and bucketing stops every distinct gesture
+    # top-speed from triggering a fresh jit compile
+    span = 1 << (span - 1).bit_length()
     heads_integer = bool(np.all(prog["head_off_frac"] == 0))
     out = scrub_render_kernel(
         prog["audio"], prog["base_inc_q"], prog["js_q"],

@@ -138,25 +138,27 @@ def wow_flutter_mod(num_frames: int, sample_rate: int, tape_age: int,
     mod = clip(1 + wow_depth sin(wow) + flutter_depth sin(flutter), 0.1, 3)
     with depths scaled by tape age (Tape…py:794-798, 884-891); 0.4 Hz wow,
     7 Hz flutter.  Evaluated with the detmath f32 cycle-domain twin (phases
-    in cycles, exact reduction) and 12-bit-significand depths so the SAME
-    curve is computable bit-identically on host NumPy, in C++, and on
-    device — the engine and oracle consume this one array, so the position
-    integrals agree exactly.  (Was f64 np.sin; ~5x faster and
-    twin-portable; curve differs from the old one by ~1e-6 — control-rate
-    framework semantics.)"""
+    in cycles, exact integer reduction via detmath.phase_ratio — stays
+    exact at ANY frame count, unlike an f32 arange which degrades past
+    2**24 frames ≈ 5.8 min at 48 kHz) and 12-bit-significand depths so
+    the SAME curve is computable bit-identically on host NumPy, in C++,
+    and on device — the engine and oracle consume this one array, so the
+    position integrals agree exactly."""
     from ..ops import detmath
     from ..ops.fixq import round_sig12_np
 
     a = max(0.0, min(1.0, tape_age / 100.0))
     wd = round_sig12_np(np.float32(0.001 + 0.006 * a))
     fd = round_sig12_np(np.float32(0.0005 + 0.003 * a))
-    cw = np.float32(0.4 / sample_rate)       # cycles per sample
-    cf = np.float32(7.0 / sample_rate)
+    wn, wm, winv = detmath.phase_ratio(2, 5, sample_rate)   # 0.4 Hz
+    fn, fm, finv = detmath.phase_ratio(7, 1, sample_rate)   # 7 Hz
     pw0 = np.float32(wow_phase0 / (2.0 * np.pi))
     pf0 = np.float32(flutter_phase0 / (2.0 * np.pi))
-    i = np.arange(num_frames, dtype=np.float32)
-    sw = round_sig12_np(detmath.sin_cycles_np(pw0 + i * cw))
-    sf = round_sig12_np(detmath.sin_cycles_np(pf0 + i * cf))
+    i = np.arange(num_frames, dtype=np.uint32)
+    sw = round_sig12_np(detmath.sin_cycles_np(
+        pw0 + detmath.phase_cycles_np(i, wn, wm, winv)))
+    sf = round_sig12_np(detmath.sin_cycles_np(
+        pf0 + detmath.phase_cycles_np(i, fn, fm, finv)))
     mod = np.float32(1.0) + wd * sw + fd * sf
     mod = np.clip(mod, np.float32(0.1), np.float32(3.0))
     return fixq.quantize_f32_np(mod)

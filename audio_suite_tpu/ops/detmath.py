@@ -90,6 +90,40 @@ def cos_cycles_np(x):
     return sin_cycles_np(np.asarray(x, np.float32) + np.float32(0.25))
 
 
+def phase_ratio(freq_num: int, freq_den: int, sr: int):
+    """Reduce an LFO frequency ``freq_num/freq_den`` Hz at integer sample
+    rate ``sr`` to ``(num, m, inv_m)`` such that the phase in cycles at
+    sample i is ``(((i mod m) * num) mod m) * inv_m`` — exact integer
+    reduction, so the phase stays accurate for ANY sample index (an f32
+    ``arange`` loses integer exactness past 2**24 ≈ 5.8 min at 48 kHz).
+    ``m < 2**24`` is enforced so the reduced residue converts to f32
+    exactly; the only rounding is the final inv_m multiply (~1 ulp of a
+    value < num cycles), identical across NumPy/XLA/C++."""
+    num = int(freq_num)
+    m = int(freq_den) * int(sr)
+    if m <= 0 or num < 0:
+        raise ValueError("phase_ratio needs positive den*sr and num >= 0")
+    g = math.gcd(num, m)
+    num //= g
+    m //= g
+    if m >= 2 ** 24 or num * (m - 1) >= 2 ** 32:
+        raise ValueError("phase_ratio residue would overflow exact range")
+    return np.uint32(num), np.uint32(m), np.float32(1.0 / m)
+
+
+def phase_cycles(i, num, m, inv_m):
+    """Long-range-exact LFO phase in cycles for uint32 sample index i."""
+    i = jnp.asarray(i, jnp.uint32)
+    r = ((i % m) * num) % m
+    return r.astype(jnp.float32) * jnp.float32(inv_m)
+
+
+def phase_cycles_np(i, num, m, inv_m):
+    i = np.asarray(i, np.uint32)
+    r = ((i % np.uint32(m)) * np.uint32(num)) % np.uint32(m)
+    return (r.astype(np.float32) * np.float32(inv_m)).astype(np.float32)
+
+
 def frac_signed(x):
     """x - rint(x): exact signed fractional part in [-0.5, 0.5]."""
     x = jnp.asarray(x, jnp.float32)

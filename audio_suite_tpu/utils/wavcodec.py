@@ -82,8 +82,10 @@ def read_wav(path: str, always_2d: bool = False):
 def write_wav(path: str, audio: np.ndarray, sr: int, subtype: str = "FLOAT"):
     """Write float audio ([-1,1], shape [N] or [N,C]) to WAV.
 
-    subtype in {"FLOAT", "PCM_16", "PCM_24", "PCM_32"}. PCM conversions use
-    scale-by-full-scale with clipping (matching soundfile's convention).
+    subtype in {"FLOAT", "PCM_16", "PCM_24", "PCM_32"}. PCM conversions
+    scale by 2^(bits-1) with clipping (libsndfile's convention: read and
+    write are symmetric, full-scale -1.0 is representable, +1.0 clips to
+    the max positive code).
     """
     x = np.asarray(audio)
     if x.ndim == 1:
@@ -95,11 +97,11 @@ def write_wav(path: str, audio: np.ndarray, sr: int, subtype: str = "FLOAT"):
         payload = x.astype("<f4").tobytes()
     elif subtype == "PCM_16":
         fmt_tag, bits = WAVE_FORMAT_PCM, 16
-        q = np.clip(np.rint(x.astype(np.float64) * 32767.0), -32768, 32767)
+        q = np.clip(np.rint(x.astype(np.float64) * 32768.0), -32768, 32767)
         payload = q.astype("<i2").tobytes()
     elif subtype == "PCM_24":
         fmt_tag, bits = WAVE_FORMAT_PCM, 24
-        q = np.clip(np.rint(x.astype(np.float64) * 8388607.0),
+        q = np.clip(np.rint(x.astype(np.float64) * 8388608.0),
                     -8388608, 8388607).astype(np.int32)
         b = np.empty((q.size, 3), dtype=np.uint8)
         flat = q.reshape(-1)
@@ -109,7 +111,7 @@ def write_wav(path: str, audio: np.ndarray, sr: int, subtype: str = "FLOAT"):
         payload = b.tobytes()
     elif subtype == "PCM_32":
         fmt_tag, bits = WAVE_FORMAT_PCM, 32
-        q = np.clip(np.rint(x.astype(np.float64) * 2147483647.0),
+        q = np.clip(np.rint(x.astype(np.float64) * 2147483648.0),
                     -2147483648, 2147483647)
         payload = q.astype("<i4").tobytes()
     else:

@@ -57,6 +57,26 @@ def test_detmath_twins_and_accuracy():
     assert float(rel.max()) < 1e-6
 
 
+def test_detmath_phase_cycles_long_range_exact():
+    """phase_ratio/phase_cycles stay exact at sample indices far past 2**24
+    (where an f32 arange loses integer exactness), and the JAX/NumPy twins
+    are bit-identical."""
+    sr = 48000
+    for (fn_, fd_) in [(2, 5), (7, 1), (1, 2), (6, 1)]:   # 0.4/7/0.5/6 Hz
+        num, m, inv = detmath.phase_ratio(fn_, fd_, sr)
+        # indices around 2**25 (~11.6 min at 48 kHz) plus small ones
+        i = np.concatenate([np.arange(0, 4096, dtype=np.uint32),
+                            (2 ** 25 + np.arange(4096)).astype(np.uint32)])
+        got = detmath.phase_cycles_np(i, num, m, inv)
+        true = ((fn_ / fd_ / sr) * i.astype(np.float64)) % 1.0
+        # compare on the circle (got may be in [0, num) cycles pre-reduction)
+        d = np.abs((got.astype(np.float64) - true + 0.5) % 1.0 - 0.5)
+        assert float(d.max()) < 1e-6, (fn_, fd_, float(d.max()))
+        dev = np.asarray(jax.jit(
+            lambda ii: detmath.phase_cycles(ii, num, m, inv))(jnp.asarray(i)))
+        assert np.array_equal(dev, got)
+
+
 def test_fixq_segmented_cumsum_twins():
     rng = np.random.default_rng(0)
     inc = rng.integers(-(1 << 23), 1 << 23, size=5000).astype(np.int32)

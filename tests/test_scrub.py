@@ -127,7 +127,7 @@ def test_device_increment_twin_bit_exact(audio):
     js = round_sig12_np(rng.uniform(0, 0.007, nb).astype(np.float32))
     c = _mod_consts(sr)
     a = _inc_np(base, js, 42, bs, c)
-    cj = jnp.asarray([c["cw"], c["cf"], c["wd"], c["fd"]], jnp.float32)
+    cj = (jnp.asarray(c["ints"]), jnp.asarray(c["flts"]))
     b = np.asarray(jax.jit(
         lambda: _inc_device(jnp.asarray(base), jnp.asarray(js),
                             np.uint32(42), bs, cj))())
