@@ -25,9 +25,10 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from ..ops import fixq
+from ..ops import fixq, varispeed
 from ..ops.varispeed import (TapeConsts, tape_scan_render,
                              tape_segment_render)
 from ..utils import io as audio_io
@@ -147,21 +148,37 @@ def wow_flutter_mod(num_frames: int, sample_rate: int, tape_age: int,
     from ..ops import detmath
     from ..ops.fixq import round_sig12_np
 
+    ints, flts, ph0 = wow_flutter_consts(sample_rate, tape_age,
+                                         wow_phase0, flutter_phase0)
+    i = np.arange(num_frames, dtype=np.uint32)
+    sw = round_sig12_np(detmath.sin_cycles_np(
+        ph0[0] + detmath.phase_cycles_np(i, ints[0], ints[1], flts[0])))
+    sf = round_sig12_np(detmath.sin_cycles_np(
+        ph0[1] + detmath.phase_cycles_np(i, ints[2], ints[3], flts[1])))
+    mod = np.float32(1.0) + flts[2] * sw + flts[3] * sf
+    mod = np.clip(mod, np.float32(0.1), np.float32(3.0))
+    return fixq.quantize_f32_np(mod)
+
+
+def wow_flutter_consts(sample_rate: int, tape_age: int,
+                       wow_phase0: float = 0.0, flutter_phase0: float = 0.0):
+    """Shared constants for the host/device wow-flutter twins:
+    (ints u32[4] = wow num/m, flutter num/m;
+     flts f32[4] = wow inv_m, flutter inv_m, wow depth, flutter depth;
+     phase0 f32[2] in cycles)."""
+    from ..ops import detmath
+    from ..ops.fixq import round_sig12_np
+
     a = max(0.0, min(1.0, tape_age / 100.0))
     wd = round_sig12_np(np.float32(0.001 + 0.006 * a))
     fd = round_sig12_np(np.float32(0.0005 + 0.003 * a))
     wn, wm, winv = detmath.phase_ratio(2, 5, sample_rate)   # 0.4 Hz
     fn, fm, finv = detmath.phase_ratio(7, 1, sample_rate)   # 7 Hz
-    pw0 = np.float32(wow_phase0 / (2.0 * np.pi))
-    pf0 = np.float32(flutter_phase0 / (2.0 * np.pi))
-    i = np.arange(num_frames, dtype=np.uint32)
-    sw = round_sig12_np(detmath.sin_cycles_np(
-        pw0 + detmath.phase_cycles_np(i, wn, wm, winv)))
-    sf = round_sig12_np(detmath.sin_cycles_np(
-        pf0 + detmath.phase_cycles_np(i, fn, fm, finv)))
-    mod = np.float32(1.0) + wd * sw + fd * sf
-    mod = np.clip(mod, np.float32(0.1), np.float32(3.0))
-    return fixq.quantize_f32_np(mod)
+    ints = np.asarray([wn, wm, fn, fm], np.uint32)
+    flts = np.asarray([winv, finv, wd, fd], np.float32)
+    ph0 = np.asarray([wow_phase0 / (2.0 * np.pi),
+                      flutter_phase0 / (2.0 * np.pi)], np.float32)
+    return ints, flts, ph0
 
 
 def splice_envelope(env_len: int = 256) -> np.ndarray:
@@ -170,11 +187,19 @@ def splice_envelope(env_len: int = 256) -> np.ndarray:
     return (1.0 + 0.8 * np.exp(-5.0 * x)).astype(np.float32)
 
 
-def build_tape_program(audio: np.ndarray, params: TapeParams, num_frames: int):
+def build_tape_program(audio, params: TapeParams, num_frames: int,
+                       with_mod: bool = True):
     """Precompute every array/constant the render kernels (and the NumPy
-    oracle) need. Returns a dict of host NumPy arrays + a TapeConsts."""
-    audio = np.asarray(audio, np.float32)
-    n = len(audio)
+    oracle) need. Returns a dict of host NumPy arrays + a TapeConsts.
+
+    `audio` may be a jax.Array already resident on the device (the tape is
+    loaded once and rendered many times — keeping it device-side removes
+    the dominant h2d transfer); it is passed through untouched.
+    `with_mod=False` skips materializing the host wow/flutter curve (the
+    device table engine synthesizes it in C++/on device instead)."""
+    if not isinstance(audio, jax.Array):
+        audio = np.asarray(audio, np.float32)
+    n = int(audio.shape[0])
     if n < 2:
         raise ValueError("tape render needs at least 2 samples of audio")
 
@@ -207,7 +232,9 @@ def build_tape_program(audio: np.ndarray, params: TapeParams, num_frames: int):
 
     return {
         "audio": audio,
-        "mod_q": wow_flutter_mod(num_frames, params.sample_rate, params.tape_age),
+        "mod_q": (wow_flutter_mod(num_frames, params.sample_rate,
+                                  params.tape_age) if with_mod else None),
+        "mod_consts": wow_flutter_consts(params.sample_rate, params.tape_age),
         "starts": starts,
         "ends": ends,
         "speeds_q": np.asarray(speeds_q, np.float32),
@@ -216,23 +243,91 @@ def build_tape_program(audio: np.ndarray, params: TapeParams, num_frames: int):
         "splice_env": splice_envelope(params.splice_env_len),
         "consts": consts,
         "num_frames": int(num_frames),
+        "sample_rate": int(params.sample_rate),
+        "tape_age": int(params.tape_age),
     }
 
 
-def render_tape(audio: np.ndarray, params: TapeParams,
+def _pad_pow2(arr, fill, min_len=4):
+    """Pad a 1-D int array to the next power-of-two length (static-shape
+    bucketing: table sizes stop forcing fresh jit compiles)."""
+    k = len(arr)
+    cap = max(min_len, 1 << max(0, (k - 1).bit_length())) if k else min_len
+    out = np.full(cap, fill, arr.dtype if k else np.int32)
+    out[:k] = arr
+    return out
+
+
+def tape_table_render(prog: dict, out_i16: bool = False):
+    """Device tape engine: compact host control tables -> full on-device
+    reconstruction (ops/varispeed.tape_device_render).  Host->device payload
+    is O(visits + runs) ~ KBs instead of 12 bytes/output sample."""
+    consts = prog["consts"]
+    T = int(prog["num_frames"])
+    n = int(prog["audio"].shape[0])
+    from ..utils import native_rt
+    tables = native_rt.tape_tables(
+        T, n, prog["mod_consts"], prog["starts"], prog["ends"],
+        prog["speeds_q"], prog["reverse"], prog["boundaries"],
+        len(prog["splice_env"]), consts)
+    if tables is None:
+        mod_q = prog["mod_q"]
+        if mod_q is None:
+            mod_q = wow_flutter_mod(T, int(prog["sample_rate"]),
+                                    int(prog["tape_age"]))
+        tables = varispeed.tape_tables(
+            n, mod_q, prog["starts"], prog["ends"], prog["speeds_q"],
+            prog["reverse"], prog["boundaries"], len(prog["splice_env"]),
+            consts)
+
+    # shape bucketing: pad the render length to 32k blocks and every table
+    # to a power of two so repeated renders reuse the compiled kernel
+    t_pad = -(-T // 32768) * 32768
+    vs = _pad_pow2(tables["visit_start"], t_pad)
+    bw = _pad_pow2(tables["visit_bw"], 0)
+    bf = _pad_pow2(tables["visit_bf"], 0)
+    vsec = _pad_pow2(tables["visit_sec"], 0)
+    rs = _pad_pow2(tables["run_start"], t_pad)
+    s0 = _pad_pow2(tables["run_s0"], 0)
+    rm = _pad_pow2(tables["run_m"], 0)
+    trig = (_pad_pow2(tables["triggers"], t_pad)
+            if len(tables["triggers"]) else np.zeros(0, np.int32))
+
+    ints, flts, ph0 = prog["mod_consts"]
+    out = varispeed.tape_device_render(
+        prog["audio"], ints, flts, ph0,
+        vs, bw, bf, vsec, rs, s0, rm,
+        prog["starts"], prog["ends"], prog["reverse"], prog["boundaries"],
+        trig, prog["splice_env"],
+        consts, t_pad, out_i16)
+    return np.asarray(out)[:T], tables["final"]
+
+
+def render_tape(audio, params: TapeParams,
                 num_frames: Optional[int] = None,
-                engine: str = "segment") -> np.ndarray:
+                engine: str = "device") -> np.ndarray:
     """Offline render of `num_frames` output samples (default: one full
     duration-preserving pass over the tape).
 
-    engine="segment" (default): host exact trajectory + one device gather
-    kernel — the TPU-viable path (the per-sample scan runs at only
-    ~0.2 Msteps/s on a TPU chip).  engine="scan": the sequential
-    reference-structured kernel, kept for cross-validation.  Both make
-    bit-identical discrete decisions (same fixed-point integers)."""
-    n = len(audio)
+    engine="device" (default): compact host control tables + full on-device
+    reconstruction (mod synthesis, run expansion, segmented position cumsum,
+    gather) — KBs of h2d payload per render; pass a device-resident
+    jax.Array as `audio` to skip the tape upload entirely.
+    engine="segment": host exact per-sample trajectory + one device gather
+    kernel.  engine="scan": the sequential reference-structured kernel, kept
+    for cross-validation.  All three make bit-identical discrete decisions
+    (same fixed-point integers)."""
+    n = int(audio.shape[0]) if hasattr(audio, "shape") else len(audio)
     if num_frames is None:
         num_frames = section_render_length(params, n)
+    if engine == "device":
+        from ..utils import native_rt
+        # the C++ table builder synthesizes its own mod curve; only the
+        # NumPy fallback needs the host array
+        prog = build_tape_program(audio, params, num_frames,
+                                  with_mod=native_rt.get_lib() is None)
+        out, _ = tape_table_render(prog)
+        return out
     prog = build_tape_program(audio, params, num_frames)
     if engine == "segment":
         out, _ = tape_segment_render(

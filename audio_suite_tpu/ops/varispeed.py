@@ -432,6 +432,322 @@ def tape_trajectory(audio_n: int, mod_q, starts, ends, speeds_q, reverse,
                 final=final)
 
 
+# ----------------------------------------------------------------------------
+# Table engine: compact host control tables + full on-device reconstruction
+# ----------------------------------------------------------------------------
+#
+# The segment engine above still ships ~12 bytes per output sample
+# (idx0/fr/gain) through the host->device link — the dominant cost on a
+# tunnel-attached chip (BASELINE.md).  But the only *decisions* the host
+# makes are (a) where section-crossing visits begin and with what entry
+# position, (b) the quantized-inertia speed curve, and (c) splice trigger
+# times.  Everything else is arithmetic the device can redo bit-identically:
+#
+# - wow/flutter mod: detmath twins (exact integer phase reduction, 12-bit
+#   rounded sines, exact multiplies) — same construction the scrub engine
+#   proves bit-exact between NumPy and XLA;
+# - speeds: the quantized one-pole inertia produces *arithmetic progressions*
+#   of the fixed-point speed integer (constant step m between re-roundings),
+#   so a visit's whole speed curve compresses to a few (start, s0, m) runs
+#   expanded on device as s0 + m*(i - start) — exact integer math;
+# - positions: segmented fixed-point prefix sum (ops/fixq.py) with per-visit
+#   bases, the scrub recipe;
+# - read index / anti-click gains: elementwise integer math from positions;
+# - splice gains: envelope scatter at the (sparse, non-overlapping) host
+#   trigger times.
+#
+# Host->device payload per render drops from O(T) to O(visits + runs): KBs.
+
+
+def _ap_runs(s_ints):
+    """Segment an integer sequence into maximal arithmetic progressions.
+    Returns a list of (start_index, s0, m) with
+    s[j] = s0 + m*(j - start_index) for j in [start, next_start)."""
+    c = len(s_ints)
+    if c == 0:
+        return []
+    if c == 1:
+        return [(0, int(s_ints[0]), 0)]
+    d = np.diff(s_ints)
+    chg = np.nonzero(np.diff(d) != 0)[0] + 1   # k with d[k] != d[k-1]
+    runs = []
+    p = 0
+    while p < c:
+        if p >= c - 1:
+            runs.append((p, int(s_ints[p]), 0))
+            break
+        ci = int(np.searchsorted(chg, p, side="right"))
+        q = int(chg[ci]) if ci < len(chg) else len(d)
+        runs.append((p, int(s_ints[p]), int(d[p])))
+        p = q + 1
+    return runs
+
+
+def tape_tables(audio_n: int, mod_q, starts, ends, speeds_q, reverse,
+                boundaries, splice_env_len: int, consts: TapeConsts,
+                init_whole: int = 0, init_frac: int = 0):
+    """Host control path in compact-table form (NumPy reference; the C++
+    twin is native_rt.tape_tables).  Decision-identical to tape_trajectory;
+    returns visit/run/trigger tables + final state instead of per-sample
+    arrays."""
+    T = len(mod_q)
+    n = int(audio_n)
+    mod_q = np.asarray(mod_q, np.float32)
+    starts = np.asarray(starts, np.int64)
+    ends = np.asarray(ends, np.int64)
+    speeds_q = np.asarray(speeds_q, np.float32)
+    reverse = np.asarray(reverse, bool)
+    boundaries = np.asarray(boundaries, np.int64)
+    num_secs = len(starts)
+
+    vis_start, vis_bw, vis_bf, vis_sec = [], [], [], []
+    runs = []                      # (global_start, s0_int, m_int)
+
+    w = int(init_whole)
+    f = int(init_frac)
+    speed = np.float32(consts.initial_speed_q)
+    alpha_q = np.float32(consts.alpha_q)
+    i = 0
+    CHUNK = 1 << 16
+    while i < T:
+        w = w % n
+        sec = min(max(int(np.searchsorted(starts, w, side="right")) - 1, 0),
+                  num_secs - 1)
+        sec_start = int(starts[sec])
+        sec_end = int(ends[sec])
+        if sec_end <= sec_start:
+            sec_end = sec_start + 1
+        target = np.float32(speeds_q[sec])
+        d_fix = (sec_end - w) * POS_ONE - f
+
+        vis_start.append(i)
+        vis_bw.append(w)
+        vis_bf.append(f)
+        vis_sec.append(sec)
+
+        conv = (_speed_steps_np(speed, target, alpha_q, T - i)
+                if consts.inertia_on else np.zeros(0, np.float32))
+        if consts.inertia_on:
+            frozen = np.float32(conv[-1]) if len(conv) else speed
+        else:
+            frozen = target
+
+        # crossing search (identical decisions to tape_trajectory)
+        j = i
+        acc = 0
+        while True:
+            k0 = j - i
+            kn = min(CHUNK, T - j)
+            if kn <= 0:
+                break
+            spd = np.empty(kn, np.float32)
+            c = min(max(len(conv) - k0, 0), kn)
+            if c > 0:
+                spd[:c] = conv[k0:k0 + c]
+            if c < kn:
+                spd[c:] = frozen
+            inc = np.rint((spd * mod_q[j:j + kn])
+                          * np.float32(POS_ONE)).astype(np.int64)
+            csum = np.cumsum(inc)
+            hit = int(np.searchsorted(csum, d_fix - acc, side="left"))
+            if hit < kn:
+                fv_end = f + acc + int(csum[hit])
+                carry = fv_end >> POS_FRAC_BITS
+                w = int(w + carry)
+                f = int(fv_end - (carry << POS_FRAC_BITS))
+                speed = np.float32(spd[hit])
+                j += hit + 1
+                break
+            acc += int(csum[-1])
+            speed = np.float32(spd[-1])
+            j += kn
+            if j >= T:
+                fv_end = f + acc
+                carry = fv_end >> POS_FRAC_BITS
+                w = int(w + carry)
+                f = int(fv_end - (carry << POS_FRAC_BITS))
+                break
+
+        # speed runs for visit [i, j)
+        L = j - i
+        cL = min(L, len(conv))
+        if cL > 0:
+            s_ints = np.rint(conv[:cL].astype(np.float64)
+                             * POS_ONE).astype(np.int64)
+            for (rs, s0, m) in _ap_runs(s_ints):
+                if rs < cL:
+                    runs.append((i + rs, s0, m))
+        if L > cL:
+            frozen_int = int(np.rint(np.float64(frozen) * POS_ONE))
+            if runs and runs[-1][1] == frozen_int and runs[-1][2] == 0 \
+                    and cL == 0:
+                pass                       # merged with previous frozen run
+            else:
+                runs.append((i + cL, frozen_int, 0))
+        i = j
+
+    # ---- vectorized position reconstruction (NumPy twin of the device
+    # kernel) — needed host-side only to locate splice triggers ----
+    vs = np.asarray(vis_start, np.int64)
+    rs_a = np.asarray([r[0] for r in runs], np.int64)
+    s0_a = np.asarray([r[1] for r in runs], np.int64)
+    m_a = np.asarray([r[2] for r in runs], np.int64)
+    ii = np.arange(T, dtype=np.int64)
+    rid = np.searchsorted(rs_a, ii, side="right") - 1
+    s_int = s0_a[rid] + m_a[rid] * (ii - rs_a[rid])
+    spd_all = (s_int.astype(np.float32) * POS_INV_F).astype(np.float32)
+    inc_all = np.rint((spd_all * mod_q) * np.float32(POS_ONE)).astype(np.int64)
+    excl = np.cumsum(inc_all) - inc_all
+    vid = np.searchsorted(vs, ii, side="right") - 1
+    rel = excl - excl[vs[vid]]
+    fv = np.asarray(vis_bf, np.int64)[vid] + rel
+    carry = fv >> POS_FRAC_BITS
+    whole = np.asarray(vis_bw, np.int64)[vid] + carry
+    frac = fv - (carry << POS_FRAC_BITS)
+    sec = np.asarray(vis_sec, np.int64)[vid]
+
+    # read-index mapping (mirror of _read_index) for trigger detection
+    wrapped = np.mod(whole, n)
+    sec_start = starts[sec]
+    sec_end = np.maximum(ends[sec], sec_start + 1)
+    local_w = np.mod(wrapped - sec_start, sec_end - sec_start)
+    rev = reverse[np.clip(sec, 0, num_secs - 1)]
+    idx_f = sec_start + local_w
+    a = sec_end - 1 - local_w
+    has_frac = frac > 0
+    idx_r = np.where(has_frac, a - 1, a)
+    idx_r = np.where((a == 0) & has_frac, 0, idx_r)
+    idx0 = np.where(rev, idx_r, idx_f)
+    idx0 = np.clip(idx0, 0, n - 1)
+
+    triggers = []
+    splice_rem = 0
+    splice_idx = 0
+    if consts.splice_on and len(boundaries) > 0:
+        jb = np.searchsorted(boundaries, idx0)
+        nb = len(boundaries)
+        hit = (jb < nb) & (boundaries[np.clip(jb, 0, nb - 1)] == idx0)
+        hits = np.nonzero(hit)[0]
+        last_end = -1
+        for t in hits:
+            if t < last_end:
+                continue
+            triggers.append(int(t))
+            last_end = t + splice_env_len
+        if last_end > T:
+            splice_rem = last_end - T
+            splice_idx = splice_env_len - splice_rem
+
+    final = dict(whole=int(w), frac=int(f), speed=float(speed),
+                 splice_rem=int(splice_rem), splice_idx=int(splice_idx))
+    return dict(
+        visit_start=np.asarray(vis_start, np.int32),
+        visit_bw=np.asarray(vis_bw, np.int32),
+        visit_bf=np.asarray(vis_bf, np.int32),
+        visit_sec=np.asarray(vis_sec, np.int32),
+        run_start=np.asarray([r[0] for r in runs], np.int32),
+        run_s0=np.asarray([r[1] for r in runs], np.int32),
+        run_m=np.asarray([r[2] for r in runs], np.int32),
+        triggers=np.asarray(triggers, np.int32),
+        final=final)
+
+
+def _wow_flutter_device(T: int, mod_ints, mod_flts, phase0):
+    """Device twin of models.tape.wow_flutter_mod (same op sequence:
+    exact integer phase reduction -> detmath sine -> 12-bit rounding ->
+    exact-product depth scaling -> clip -> grid quantize)."""
+    from . import detmath
+    from .fixq import round_sig12, quantize_f32 as qf32
+
+    i = jnp.arange(T, dtype=jnp.uint32)
+    sw = round_sig12(detmath.sin_cycles(
+        phase0[0] + detmath.phase_cycles(i, mod_ints[0], mod_ints[1],
+                                         mod_flts[0])))
+    sf = round_sig12(detmath.sin_cycles(
+        phase0[1] + detmath.phase_cycles(i, mod_ints[2], mod_ints[3],
+                                         mod_flts[1])))
+    mod = jnp.float32(1.0) + mod_flts[2] * sw + mod_flts[3] * sf
+    mod = jnp.clip(mod, jnp.float32(0.1), jnp.float32(3.0))
+    return qf32(mod)
+
+
+@partial(jax.jit, static_argnames=("consts", "t_total", "out_i16"))
+def tape_device_render(audio, mod_ints, mod_flts, phase0,
+                       visit_start, visit_bw, visit_bf, visit_sec,
+                       run_start, run_s0, run_m,
+                       starts, ends, reverse, boundaries,
+                       splice_trig, splice_env,
+                       consts: TapeConsts, t_total: int,
+                       out_i16: bool = False):
+    """Whole tape render on device from compact control tables.
+
+    Bit-reproduces the segment engine's positions: the increments are the
+    same single-rounded f32 products of exactly-representable operands, the
+    visit bases pin each section visit to the host's decision, and all
+    discrete mappings are integer math.  Audio differs from the scan engine
+    only by elementwise f32 rounding (parity tests assert <= -120 dBFS)."""
+    n = audio.shape[0]
+    T = int(t_total)
+    i32 = jnp.int32
+    ii = jnp.arange(T, dtype=i32)
+
+    mod = _wow_flutter_device(T, mod_ints, mod_flts, phase0)
+    rid = jnp.searchsorted(run_start, ii, side="right").astype(i32) - 1
+    rid = jnp.clip(rid, 0, run_start.shape[0] - 1)
+    s_int = run_s0[rid] + run_m[rid] * (ii - run_start[rid])
+    spd = s_int.astype(jnp.float32) * POS_INV_F
+    inc = jnp.rint((spd * mod) * jnp.float32(POS_ONE)).astype(i32)
+
+    reset = jnp.zeros(T, jnp.bool_)
+    if visit_start.shape[0] > 1:
+        reset = reset.at[visit_start[1:]].set(True, mode="drop")
+    inc_shift = jnp.concatenate([jnp.zeros(1, i32), inc[:-1]])
+    inc_shift = jnp.where(reset, 0, inc_shift)
+    from .fixq import segmented_pos_cumsum
+    whole_rel, frac_rel = segmented_pos_cumsum(inc_shift, reset)
+    vid = jnp.cumsum(reset.astype(i32))
+    vid = jnp.clip(vid, 0, visit_bw.shape[0] - 1)
+    f = frac_rel + visit_bf[vid]
+    carry = f >> POS_FRAC_BITS
+    whole = whole_rel + visit_bw[vid] + carry
+    frac = f - (carry << POS_FRAC_BITS)
+
+    wrapped = jnp.mod(whole, n)
+    sec = visit_sec[vid]
+    sec_start = starts[sec]
+    sec_end = jnp.maximum(ends[sec], sec_start + 1)
+    idx0, fr = _read_index(wrapped, frac, sec_start, sec_end, reverse[sec])
+    idx0 = jnp.clip(idx0, 0, n - 1)
+
+    gain = jnp.ones(T, jnp.float32)
+    if consts.anticlick_on and boundaries.shape[0] > 0 and consts.smooth_len > 0:
+        dmin = _boundary_min_dist(boundaries, idx0)
+        inv_smooth = jnp.float32(1.0 / max(1, consts.smooth_len))
+        x = (consts.smooth_len - dmin).astype(jnp.float32) * inv_smooth
+        g = jnp.maximum(jnp.float32(0.0),
+                        jnp.float32(1.0)
+                        - jnp.float32(consts.anticlick_strength) * x)
+        gain = jnp.where(dmin < consts.smooth_len, g, gain)
+    if consts.splice_on and splice_trig.shape[0] > 0:
+        E = splice_env.shape[0]
+        # triggers are >= E apart (host greedy suppression) so the scatter
+        # rows never overlap; padding triggers sit at t_total and land in
+        # the sliced-off tail of the T+E buffer
+        buf = jnp.ones(T + E, jnp.float32)
+        rows = splice_trig[:, None] + jnp.arange(E, dtype=i32)[None, :]
+        vals = jnp.broadcast_to(splice_env[None, :], rows.shape)
+        buf = buf.at[rows.reshape(-1)].set(vals.reshape(-1))
+        gain = gain * buf[:T]
+
+    idx1 = jnp.minimum(idx0 + 1, n - 1)
+    s = (jnp.float32(1.0) - fr) * audio[idx0] + fr * audio[idx1]
+    s = jnp.clip(s * gain, -1.0, 1.0)
+    if out_i16:
+        q = jnp.clip(jnp.rint(s * jnp.float32(32768.0)), -32768.0, 32767.0)
+        return q.astype(jnp.int16)
+    return s
+
+
 @jax.jit
 def tape_gather_render(audio, idx0, fr, gain):
     """Device half of the segment engine: fractional gather + combined

@@ -24,26 +24,33 @@ _tried = False
 
 _CFLAGS = ["-O3", "-shared", "-fPIC", "-ffp-contract=off",
            "-fno-fast-math", "-frounding-math"]
+# -march=native lets the hot loops vectorize (roundss/vroundps for rintf —
+# still IEEE round-half-even, so results are bit-identical to the portable
+# build); the library is always compiled on the machine it runs on, and the
+# portable flag set is the fallback if the native one fails to build.
+_FLAG_SETS = [_CFLAGS + ["-march=native"], _CFLAGS]
 
 
 def _build() -> str | None:
     if not os.path.exists(_SRC):
         return None
     with open(_SRC, "rb") as f:
-        tag = hashlib.sha256(f.read() + " ".join(_CFLAGS).encode()) \
-            .hexdigest()[:16]
-    so = os.path.join(_BUILD_DIR, f"libast_runtime_{tag}.so")
-    if os.path.exists(so):
-        return so
+        src = f.read()
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    tmp = so + ".tmp"
-    try:
-        subprocess.run(["g++", *_CFLAGS, "-o", tmp, _SRC], check=True,
-                       capture_output=True, timeout=120)
-        os.replace(tmp, so)
-        return so
-    except Exception:
-        return None
+    for flags in _FLAG_SETS:
+        tag = hashlib.sha256(src + " ".join(flags).encode()).hexdigest()[:16]
+        so = os.path.join(_BUILD_DIR, f"libast_runtime_{tag}.so")
+        if os.path.exists(so):
+            return so
+        tmp = so + ".tmp"
+        try:
+            subprocess.run(["g++", *flags, "-o", tmp, _SRC], check=True,
+                           capture_output=True, timeout=120)
+            os.replace(tmp, so)
+            return so
+        except Exception:
+            continue
+    return None
 
 
 def get_lib():
@@ -89,6 +96,20 @@ def get_lib():
         p_i32, p_f32, p_f32, p_f32, p_i64]
     lib.ast_tape_trajectory.restype = None
 
+    p_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.ast_tape_tables.argtypes = [
+        i64, i64,
+        p_u32, p_f32, p_f32, p_f32,    # mod ints/flts/phase0, sin coeffs
+        p_i64, p_i64, p_f32, p_u8, i64,
+        ctypes.c_void_p, i64,
+        i64,
+        i32, i32, f32, f32,
+        i64, i64, i64,
+        p_i64, p_i64, p_i64, p_i64,
+        p_i64, p_i64, p_i64,
+        p_i64, p_i64, p_i64]
+    lib.ast_tape_tables.restype = i32
+
     _lib = lib
     return _lib
 
@@ -119,6 +140,68 @@ def grid_placement(n_total: int, pat_n: int, start_idx: int, loop: bool,
         0 if rs is None else len(rs),
         float(pre_phase), idx, valid)
     return idx, valid.astype(bool)
+
+
+def _detmath_sin_coeffs():
+    from ..ops import detmath
+    return np.asarray(list(detmath._S32) + list(detmath._C32), np.float32)
+
+
+def tape_tables(T: int, n: int, mod_consts, starts, ends, speeds_q, reverse,
+                boundaries, splice_env_len: int, consts):
+    """C twin of ops/varispeed.tape_tables (compact control tables for the
+    device tape engine).  Synthesizes the wow/flutter mod internally with
+    the detmath f32 twins (no NumPy mod materialization).  Returns the same
+    dict or None if unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ast_tape_tables"):
+        return None
+    ints, flts, ph0 = mod_consts
+    ints = np.ascontiguousarray(ints, np.uint32)
+    flts = np.ascontiguousarray(flts, np.float32)
+    ph0 = np.ascontiguousarray(ph0, np.float32)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    speeds_q = np.ascontiguousarray(speeds_q, np.float32)
+    reverse = np.ascontiguousarray(reverse, np.uint8)
+    bnd = np.ascontiguousarray(boundaries, np.int64)
+    coeffs = _detmath_sin_coeffs()
+
+    cap = 4096
+    while True:
+        vis = [np.zeros(cap, np.int64) for _ in range(4)]
+        run = [np.zeros(cap, np.int64) for _ in range(3)]
+        trg = np.zeros(cap, np.int64)
+        counts = np.zeros(3, np.int64)
+        fin = np.zeros(5, np.int64)
+        rc = lib.ast_tape_tables(
+            int(T), int(n), ints, flts, ph0, coeffs,
+            starts, ends, speeds_q, reverse, len(starts),
+            bnd.ctypes.data if len(bnd) else None, len(bnd),
+            int(splice_env_len),
+            1 if consts.splice_on else 0, 1 if consts.inertia_on else 0,
+            np.float32(consts.alpha_q), np.float32(consts.initial_speed_q),
+            0, 0, cap,
+            vis[0], vis[1], vis[2], vis[3],
+            run[0], run[1], run[2], trg, counts, fin)
+        if rc == 0:
+            break
+        cap = int(max(int(counts.max()) + 16, cap * 2))   # retry with room
+    nv, nr, nt = int(counts[0]), int(counts[1]), int(counts[2])
+    final = dict(whole=int(fin[0]), frac=int(fin[1]),
+                 speed=float(np.float32(fin[2]
+                                        * np.float32(1.0 / (1 << 22)))),
+                 splice_rem=int(fin[3]), splice_idx=int(fin[4]))
+    return dict(
+        visit_start=vis[0][:nv].astype(np.int32),
+        visit_bw=vis[1][:nv].astype(np.int32),
+        visit_bf=vis[2][:nv].astype(np.int32),
+        visit_sec=vis[3][:nv].astype(np.int32),
+        run_start=run[0][:nr].astype(np.int32),
+        run_s0=run[1][:nr].astype(np.int32),
+        run_m=run[2][:nr].astype(np.int32),
+        triggers=trg[:nt].astype(np.int32),
+        final=final)
 
 
 def tape_trajectory(T: int, n: int, mod_q, starts, ends, speeds_q, reverse,

@@ -242,3 +242,235 @@ void ast_tape_trajectory(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Tape control tables (ops/varispeed.py tape_tables semantics)
+// ---------------------------------------------------------------------------
+// Compact-table form of the trajectory: emits section-visit entries, speed
+// runs (arithmetic progressions of the fixed-point speed integer) and splice
+// trigger times instead of per-sample arrays; the device kernel reconstructs
+// positions/gains from these.  Synthesizes the wow/flutter mod internally
+// with the detmath f32 twins (exact integer phase reduction, 12-bit rounded
+// sines) so the host no longer materializes the mod in NumPy either.
+//
+// All float math must be bit-identical to the NumPy twins: build with
+// -ffp-contract=off; rintf = round-half-even.
+
+namespace {
+
+inline float round_sig12f(float x) {
+    // ops/fixq.round_sig12_np: mantissa-space round-half-up to 12 bits
+    int32_t b;
+    std::memcpy(&b, &x, 4);
+    b = (b + 0x0800) & ~0x0FFF;
+    float r;
+    std::memcpy(&r, &b, 4);
+    return r;
+}
+
+inline float sin_cycles_f(float x, const float* S, const float* C) {
+    // ops/detmath.sin_cycles_np with caller-supplied f32 coefficients;
+    // branchless quadrant select so the loop auto-vectorizes
+    float x4 = x * 4.0f;
+    float q = rintf(x4);
+    float v = (x4 - q) * 0.25f;
+    int m = (int)((int64_t)q & 3);
+    float z = v * v;
+    float sp = v * (S[0] + z * (S[1] + z * (S[2] + z * (S[3] + z * S[4]))));
+    float cp = C[0] + z * (C[1] + z * (C[2] + z * (C[3] + z * C[4])));
+    float r = (m & 1) ? cp : sp;
+    return (m & 2) ? -r : r;
+}
+
+}  // namespace
+
+extern "C" {
+
+int32_t ast_tape_tables(
+    int64_t T, int64_t n,
+    // wow/flutter synthesis consts (models/tape.wow_flutter_consts)
+    const uint32_t* mod_ints,      // [4] wn, wm, fn, fm
+    const float* mod_flts,         // [4] winv, finv, wd, fd
+    const float* phase0,           // [2] cycles
+    const float* sin_coeffs,       // [10] detmath _S32 then _C32
+    const int64_t* starts, const int64_t* ends, const float* speeds_q,
+    const uint8_t* reverse, int64_t num_secs,
+    const int64_t* boundaries, int64_t nb,
+    int64_t env_len,
+    int32_t splice_on, int32_t inertia_on, float alpha_q,
+    float initial_speed_q,
+    int64_t init_whole, int64_t init_frac,
+    int64_t cap,
+    int64_t* vis_start, int64_t* vis_bw, int64_t* vis_bf, int64_t* vis_sec,
+    int64_t* run_start, int64_t* run_s0, int64_t* run_m,
+    int64_t* trig, int64_t* counts, int64_t* final_state)
+{
+    const uint32_t wn = mod_ints[0], wm = mod_ints[1];
+    const uint32_t fn = mod_ints[2], fm = mod_ints[3];
+    const float winv = mod_flts[0], finv = mod_flts[1];
+    const float wd = mod_flts[2], fd = mod_flts[3];
+    const float p0w = phase0[0], p0f = phase0[1];
+    const float* S = sin_coeffs;
+    const float* C = sin_coeffs + 5;
+
+    // pass 1: wow/flutter mod, in a separate per-sample-independent loop so
+    // the compiler can vectorize the sine polynomial + rounding.  Phase
+    // residues use incremental modular counters (rw(i) = (i*wn) mod wm) —
+    // no per-sample integer division; wn < wm after phase_ratio's gcd
+    // reduction so one conditional subtract per step suffices.
+    float* mod = new float[T];
+    {
+        uint32_t rw = 0, rf = 0;
+        float* phw = new float[T];
+        float* phf = new float[T];
+        for (int64_t i = 0; i < T; ++i) {
+            phw[i] = p0w + (float)rw * winv;
+            phf[i] = p0f + (float)rf * finv;
+            rw += wn; if (rw >= wm) rw -= wm;
+            rf += fn; if (rf >= fm) rf -= fm;
+        }
+        for (int64_t i = 0; i < T; ++i) {
+            float sw = round_sig12f(sin_cycles_f(phw[i], S, C));
+            float sf = round_sig12f(sin_cycles_f(phf[i], S, C));
+            float mv = 1.0f + wd * sw + fd * sf;
+            mv = mv < 0.1f ? 0.1f : (mv > 3.0f ? 3.0f : mv);
+            mod[i] = rintf(mv * POS_ONE_F) * POS_INV_F;
+        }
+        delete[] phw;
+        delete[] phf;
+    }
+
+    // pass 2: sequential trajectory emitting tables
+    int64_t nv = 0, nr = 0, nt = 0;
+    bool overflow = false;
+
+    int64_t w = init_whole, f = init_frac;
+    float speed = initial_speed_q;
+    int64_t s_int = (int64_t)rint((double)speed * (double)POS_ONE);
+
+    // AP run tracking over the post-update speed sequence
+    int64_t rb = -1, rs0 = 0, rmv = 0, rlen = 0, rlast = 0;
+    auto flush_run = [&]() {
+        if (rb < 0) return;
+        if (nr < cap) {
+            run_start[nr] = rb;
+            run_s0[nr] = rs0;
+            run_m[nr] = rlen > 1 ? rmv : 0;
+        } else overflow = true;
+        ++nr;
+        rb = -1;
+    };
+    auto push_speed = [&](int64_t j, int64_t s) {
+        if (rb < 0) { rb = j; rs0 = s; rlen = 1; rlast = s; return; }
+        int64_t d = s - rlast;
+        if (rlen == 1) { rmv = d; ++rlen; rlast = s; return; }
+        if (d == rmv) { ++rlen; rlast = s; return; }
+        flush_run();
+        rb = j; rs0 = s; rlen = 1; rlast = s;
+    };
+
+    int64_t last_end = -1;     // splice greedy suppression state
+    int64_t i = 0;
+    while (i < T) {
+        w = ((w % n) + n) % n;
+        int64_t sec = upper_bound(starts, num_secs, w) - 1;
+        sec = std::max<int64_t>(0, std::min<int64_t>(sec, num_secs - 1));
+        int64_t sec_start = starts[sec];
+        int64_t sec_end = ends[sec] <= sec_start ? sec_start + 1 : ends[sec];
+        float target = speeds_q[sec];
+        int64_t t_int = (int64_t)rint((double)target * (double)POS_ONE);
+        int64_t d_fix = (sec_end - w) * POS_ONE - f;
+
+        if (nv < cap) {
+            vis_start[nv] = i; vis_bw[nv] = w; vis_bf[nv] = f;
+            vis_sec[nv] = sec;
+        } else overflow = true;
+        ++nv;
+
+        int64_t acc = 0;
+        int64_t j = i;
+        bool crossed = false;
+        uint8_t rev = reverse[sec];
+        // amortized boundary-hit pointer: idx0 is monotone within a visit
+        // (increasing forward, decreasing reverse), so one scan pointer
+        // replaces a per-sample binary search
+        int64_t bp = 0;
+        bool bp_init = false;
+        while (j < T && !crossed) {
+            if (inertia_on) {
+                s_int += inertia_step(t_int, s_int, alpha_q);
+            } else {
+                s_int = t_int;
+            }
+            push_speed(j, s_int);
+            float spd = (float)((double)s_int * (double)POS_INV_F);
+            float r1 = spd * mod[j];
+            int64_t inc = (int64_t)rint((double)(r1 * POS_ONE_F));
+
+            if (splice_on && nb > 0) {
+                // idx0 for this sample (pre-advance position).  Within a
+                // visit wj stays in [sec_start, sec_end) ⊂ [0, n): the
+                // entry w is wrapped and section-resolved, positions only
+                // advance, and the visit ends before wj reaches sec_end —
+                // so the wrap/local mod reductions are identities.
+                int64_t fv = f + acc;
+                int64_t carry = fv >> POS_FRAC_BITS;
+                int64_t wj = w + carry;
+                int64_t fj = fv - (carry << POS_FRAC_BITS);
+                int64_t local_w = wj - sec_start;
+                int64_t idx0;
+                if (rev) {
+                    int64_t a = sec_end - 1 - local_w;
+                    idx0 = (fj > 0) ? (a == 0 ? 0 : a - 1) : a;
+                } else {
+                    idx0 = sec_start + local_w;
+                }
+                idx0 = std::max<int64_t>(0, std::min<int64_t>(idx0, n - 1));
+                if (!bp_init) {
+                    bp = rev ? lower_bound(boundaries, nb, idx0 + 1) - 1
+                             : lower_bound(boundaries, nb, idx0);
+                    bp_init = true;
+                }
+                bool hit;
+                if (rev) {
+                    while (bp >= 0 && boundaries[bp] > idx0) --bp;
+                    hit = bp >= 0 && boundaries[bp] == idx0;
+                } else {
+                    while (bp < nb && boundaries[bp] < idx0) ++bp;
+                    hit = bp < nb && boundaries[bp] == idx0;
+                }
+                if (hit && j >= last_end) {
+                    if (nt < cap) trig[nt] = j; else overflow = true;
+                    ++nt;
+                    last_end = j + env_len;
+                }
+            }
+
+            acc += inc;
+            ++j;
+            if (acc >= d_fix) crossed = true;
+        }
+        int64_t fv = f + acc;
+        int64_t carry = fv >> POS_FRAC_BITS;
+        w += carry;
+        f = fv - (carry << POS_FRAC_BITS);
+        i = j;
+    }
+    flush_run();
+    delete[] mod;
+
+    int64_t splice_rem = 0, splice_idx = 0;
+    if (last_end > T) {
+        splice_rem = last_end - T;
+        splice_idx = env_len - splice_rem;
+    }
+    counts[0] = nv; counts[1] = nr; counts[2] = nt;
+    final_state[0] = w;
+    final_state[1] = f;
+    final_state[2] = s_int;
+    final_state[3] = splice_rem;
+    final_state[4] = splice_idx;
+    return overflow ? 1 : 0;
+}
+
+}  // extern "C"

@@ -222,3 +222,115 @@ def test_native_trajectory_bit_equal_numpy(audio):
     for k in ("idx0", "fr", "ga", "gs"):
         assert np.array_equal(a[k], b[k]), k
     assert a["final"] == b["final"]
+
+
+def _dev_vs_scan(audio, params, frames):
+    a = tape.render_tape(audio, params, frames, engine="scan")
+    b = tape.render_tape(audio, params, frames, engine="device")
+    return max_dev_dbfs(a, b)
+
+
+def test_device_engine_matches_scan_full(audio):
+    n = len(audio)
+    p = tape.TapeParams(
+        markers=[n // 5, n // 2, (3 * n) // 4],
+        section_speeds=[1.0, 2.7, 0.31, 3.9],
+        section_reverse=[False, True, False, True],
+        tape_age=85, enable_splice_fx=True, anticlick_enabled=True,
+        anticlick_amount=70)
+    assert _dev_vs_scan(audio, p, 70000) <= -120.0
+
+
+def test_device_engine_matches_scan_inertia(audio):
+    n = len(audio)
+    p = tape.TapeParams(
+        markers=[n // 3, (2 * n) // 3],
+        section_speeds=[0.5, 3.5, 1.0],
+        section_reverse=[False, False, True],
+        inertia_enabled=True, inertia_amount=80, current_speed=2.0,
+        tape_age=30)
+    assert _dev_vs_scan(audio, p, 70000) <= -120.0
+
+
+def test_device_engine_accepts_device_audio(audio):
+    """The tape can live on the device (loaded once, rendered many times);
+    results must match the host-array path exactly."""
+    import jax.numpy as jnp
+    p = tape.TapeParams(markers=[12000, 30000],
+                        section_speeds=[1.0, 2.0, 0.5],
+                        section_reverse=[False, True, False], tape_age=50)
+    a = tape.render_tape(audio, p, 40000, engine="device")
+    b = tape.render_tape(jnp.asarray(audio), p, 40000, engine="device")
+    assert np.array_equal(a, b)
+
+
+def test_wow_flutter_device_twin_bit_exact():
+    """The on-device wow/flutter synthesis must equal the host twin bit for
+    bit — the device tape engine's increments depend on it."""
+    import jax
+    import jax.numpy as jnp
+    from audio_suite_tpu.ops import varispeed
+
+    for sr, age in [(48000, 60), (44100, 100), (192000, 5)]:
+        T = 40960
+        host = tape.wow_flutter_mod(T, sr, age)
+        ints, flts, ph0 = tape.wow_flutter_consts(sr, age)
+        dev = np.asarray(jax.jit(
+            lambda: varispeed._wow_flutter_device(
+                T, jnp.asarray(ints), jnp.asarray(flts), jnp.asarray(ph0)))())
+        assert np.array_equal(host, dev), (sr, age)
+
+
+def test_device_tables_splice_triggers_applied(audio):
+    """A render crossing many boundaries must trigger splice envelopes in
+    the device engine identically to the segment engine (gain > 1 bursts)."""
+    n = len(audio)
+    p = tape.TapeParams(
+        markers=[n // 8, n // 4, (3 * n) // 8, n // 2],
+        section_speeds=[4.0, 4.0, 4.0, 4.0, 4.0],
+        section_reverse=[False] * 5,
+        tape_age=0, enable_splice_fx=True, anticlick_enabled=False)
+    a = tape.render_tape(audio, p, 60000, engine="segment")
+    b = tape.render_tape(audio, p, 60000, engine="device")
+    assert max_dev_dbfs(a, b) <= -120.0
+
+
+def test_native_tables_equal_numpy(audio):
+    """The C++ table builder (which also synthesizes its own wow/flutter
+    mod) must match the NumPy twin: visits/triggers/final exactly, and the
+    speed-run tables must expand to bit-identical per-sample speed ints."""
+    from audio_suite_tpu.utils import native_rt
+    from audio_suite_tpu.ops import varispeed
+    if native_rt.get_lib() is None:
+        pytest.skip("no native toolchain")
+
+    def expand(tb, T):
+        rs = tb["run_start"].astype(np.int64)
+        s0 = tb["run_s0"].astype(np.int64)
+        m = tb["run_m"].astype(np.int64)
+        ii = np.arange(T, dtype=np.int64)
+        rid = np.searchsorted(rs, ii, side="right") - 1
+        return s0[rid] + m[rid] * (ii - rs[rid])
+
+    n = len(audio)
+    p = tape.TapeParams(
+        markers=[n // 4, n // 2, (3 * n) // 4],
+        section_speeds=[1.3, 2.7, 0.31, 3.9],
+        section_reverse=[False, True, False, True],
+        inertia_enabled=True, inertia_amount=65, current_speed=2.0,
+        tape_age=85, enable_splice_fx=True, anticlick_enabled=True)
+    T = 50000
+    prog = tape.build_tape_program(audio, p, T)
+    a = native_rt.tape_tables(T, n, prog["mod_consts"], prog["starts"],
+                              prog["ends"], prog["speeds_q"],
+                              prog["reverse"], prog["boundaries"], 256,
+                              prog["consts"])
+    b = varispeed.tape_tables(n, prog["mod_q"], prog["starts"],
+                              prog["ends"], prog["speeds_q"],
+                              prog["reverse"], prog["boundaries"], 256,
+                              prog["consts"])
+    for k in ("visit_start", "visit_bw", "visit_bf", "visit_sec",
+              "triggers"):
+        assert np.array_equal(a[k], b[k]), k
+    assert np.array_equal(expand(a, T), expand(b, T))
+    assert a["final"] == b["final"]
