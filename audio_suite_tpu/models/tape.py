@@ -258,10 +258,14 @@ def _pad_pow2(arr, fill, min_len=4):
     return out
 
 
-def tape_table_render(prog: dict, out_i16: bool = False):
+def tape_table_render(prog: dict, out_i16: bool = False,
+                      device_out: bool = False):
     """Device tape engine: compact host control tables -> full on-device
     reconstruction (ops/varispeed.tape_device_render).  Host->device payload
-    is O(visits + runs) ~ KBs instead of 12 bytes/output sample."""
+    is O(visits + runs) ~ KBs instead of 12 bytes/output sample.
+    device_out=True returns the (sliced) device array without the d2h pull —
+    for pipelines that keep consuming on device, and for compute-only RTF
+    measurement."""
     consts = prog["consts"]
     T = int(prog["num_frames"])
     n = int(prog["audio"].shape[0])
@@ -300,6 +304,8 @@ def tape_table_render(prog: dict, out_i16: bool = False):
         prog["starts"], prog["ends"], prog["reverse"], prog["boundaries"],
         trig, prog["splice_env"],
         consts, t_pad, out_i16)
+    if device_out:
+        return out[:T], tables["final"]
     return np.asarray(out)[:T], tables["final"]
 
 

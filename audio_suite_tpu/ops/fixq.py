@@ -133,14 +133,57 @@ def pos_add_np(whole, frac, inc):
 # Segmented fixed-point prefix sum (Scrubber / Grid Audio phase accumulator)
 # ----------------------------------------------------------------------------
 
+def _seg_combine(a, b):
+    """Associative combine for segmented fixed-point sums on int32 triples
+    (whole, frac, has_reset).  Exact integer math — any association order
+    yields identical results."""
+    aw, af, ar = a
+    bw, bf, br = b
+    f = af + bf
+    carry = f >> POS_FRAC_BITS
+    w = aw + bw + carry
+    f = f - (carry << POS_FRAC_BITS)
+    # segmented: if b starts a new segment, drop a entirely
+    w = jnp.where(br, bw, w)
+    f = jnp.where(br, bf, f)
+    return w, f, ar | br
+
+
+def _hillis_steele_seg(w, f, r, axis):
+    """Inclusive segmented scan via Hillis-Steele doubling along `axis`.
+
+    Plain shift-pad-combine steps compile to a handful of static-shape HLO
+    ops per level; ``lax.associative_scan``'s recursive odd/even slicing
+    makes XLA:TPU compile times explode past ~1M elements (measured: >10 min
+    at 8M), so multi-M scans must come through here."""
+    n = w.shape[axis]
+    shift = 1
+    while shift < n:
+        def shifted(x, fill):
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (shift, 0)
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(0, n)
+            return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
+        w, f, r = _seg_combine(
+            (shifted(w, 0), shifted(f, 0), shifted(r, False)), (w, f, r))
+        shift *= 2
+    return w, f, r
+
+
+_SEG_BLOCK = 1024
+
+
 def segmented_pos_cumsum(inc, reset, init_whole=0, init_frac=0):
     """Inclusive segmented prefix sum of fixed-point increments.
 
     positions[i] = (init + sum(inc[j] for j in (last reset before i) .. i))
     where ``reset[i]`` restarts the sum *at* element i (position i contributes
-    its own increment starting from zero).  Runs as a log-depth
-    ``lax.associative_scan`` on int32 triples — the TPU-native replacement for
-    the reference's per-sample Python accumulators.
+    its own increment starting from zero).  Runs as a two-level blocked
+    segmented scan (in-block Hillis-Steele over [K, B] rows + a block-carry
+    scan), the TPU-native replacement for the reference's per-sample Python
+    accumulators.  Results are bit-identical to a sequential evaluation
+    (exact int32 math, associative combine).
 
     Returns (whole[N] int32, frac[N] int32).
     """
@@ -151,19 +194,30 @@ def segmented_pos_cumsum(inc, reset, init_whole=0, init_frac=0):
     w0 = inc >> POS_FRAC_BITS
     f0 = inc - (w0 << POS_FRAC_BITS)
 
-    def combine(a, b):
-        aw, af, ar = a
-        bw, bf, br = b
-        f = af + bf
-        carry = f >> POS_FRAC_BITS
-        w = aw + bw + carry
-        f = f - (carry << POS_FRAC_BITS)
-        # segmented: if b starts a new segment, drop a entirely
-        w = jnp.where(br, bw, w)
-        f = jnp.where(br, bf, f)
-        return w, f, ar | br
+    B = _SEG_BLOCK
+    if n % B == 0 and n > B:
+        K = n // B
+        wb = w0.reshape(K, B)
+        fb = f0.reshape(K, B)
+        rb = reset.reshape(K, B)
+        wb, fb, rb_seen = _hillis_steele_seg(wb, fb, rb, axis=1)
+        # exclusive block-carry scan over the per-block aggregates
+        aw, af, ar = wb[:, -1], fb[:, -1], rb_seen[:, -1]
+        cw, cf, cr = _hillis_steele_seg(aw, af, ar, axis=0)
+        # prefix for block k = inclusive aggregate of blocks < k
+        pw = jnp.concatenate([jnp.zeros(1, jnp.int32), cw[:-1]])
+        pf = jnp.concatenate([jnp.zeros(1, jnp.int32), cf[:-1]])
+        # apply the block prefix to elements whose segment did not restart
+        # within their own block
+        fsum = fb + pf[:, None]
+        carry = fsum >> POS_FRAC_BITS
+        wsum = wb + pw[:, None] + carry
+        fsum = fsum - (carry << POS_FRAC_BITS)
+        w = jnp.where(rb_seen, wb, wsum).reshape(n)
+        f = jnp.where(rb_seen, fb, fsum).reshape(n)
+    else:
+        w, f, _ = _hillis_steele_seg(w0, f0, reset, axis=0)
 
-    w, f, _ = jax.lax.associative_scan(combine, (w0, f0, reset), axis=0)
     # fold the initial position into segments that never saw a reset
     seen_reset = jnp.cumsum(reset.astype(jnp.int32)) > 0
     iw = jnp.where(seen_reset, 0, jnp.int32(init_whole))

