@@ -171,6 +171,7 @@ def _psg_channel_tables(channels: list[PSGParams], sr: int) -> dict:
         "R": np.zeros(C, np.int32),
         "s": np.zeros(C, np.float32),
         "levels_m1": np.zeros(C, np.float32),
+        "inv_levels_m1": np.zeros(C, np.float32),
     }
     for c, p in enumerate(channels):
         tab["noise"][c] = p.noise
@@ -179,7 +180,9 @@ def _psg_channel_tables(channels: list[PSGParams], sr: int) -> dict:
         tab["D"][c] = int(sr * max(1e-4, float(p.d)))
         tab["R"][c] = int(sr * max(0.006, float(p.r)))
         tab["s"][c] = p.s
-        tab["levels_m1"][c] = float(2 ** (int(p.bits) - 1) - 1)
+        lm1 = 2 ** (int(p.bits) - 1) - 1
+        tab["levels_m1"][c] = float(lm1)
+        tab["inv_levels_m1"][c] = float(np.float32(1.0 / float(lm1)))
     return tab
 
 
@@ -436,7 +439,8 @@ class MegaDriveInspiredSynth:
                         duty=tab["duty"][chan_b], noise=tab["noise"][chan_b],
                         A=tab["A"][chan_b], D=tab["D"][chan_b],
                         R=tab["R"][chan_b], s=tab["s"][chan_b],
-                        lm1=tab["levels_m1"][chan_b])
+                        lm1=tab["levels_m1"][chan_b],
+                        inv_lm1=tab["inv_levels_m1"][chan_b])
                 else:
                     tab = self._fm_tab
                     args.update(
@@ -468,19 +472,22 @@ def _render_dispatch(sr: int, fade: int, lp1: float, lp2: float,
             i_vec = jnp.arange(L, dtype=jnp.int32)
             if is_psg:
                 notes = jax.vmap(
-                    lambda n, hz, vel, duty, noi, A, D, R, s, lm1, sd:
+                    lambda n, hz, vel, duty, noi, A, D, R, s, lm1, ilm1, sd:
                     synth_ops.psg_note(
-                        i_vec, n, hz, vel, duty, noi, A, D, R, s, lm1,
+                        i_vec, n, hz, vel, duty, noi, A, D, R, s, lm1, ilm1,
                         fade, jnp.float32(psg_lp), sd,
                         orbit, base, pos, clen, sr))(
                     a["n"], a["hz"], a["vel"], a["duty"], a["noise"],
-                    a["A"], a["D"], a["R"], a["s"], a["lm1"], a["seeds"])
+                    a["A"], a["D"], a["R"], a["s"], a["lm1"], a["inv_lm1"],
+                    a["seeds"])
             else:
+                inv_dac = float(np.float32(1.0 / float(dac_m1)))
                 notes = jax.vmap(
                     lambda n, fo, vel, cpn:
                     synth_ops.fm_note(
                         i_vec, n, fo, vel, cpn, fade, jnp.float32(lp1),
-                        jnp.float32(lp2), jnp.float32(dac_m1), sr))(
+                        jnp.float32(lp2), jnp.float32(dac_m1),
+                        jnp.float32(inv_dac), sr))(
                     a["n"], a["f_ops"], a["vel"], a["cp"])
             # overlap-add with tail clamp (app/renderer.py:113-131)
             seg = jnp.minimum(a["n"], n_total - a["start"])

@@ -29,10 +29,16 @@ from . import detmath
 # Quantizer (app/music.py:89-94)
 # ----------------------------------------------------------------------------
 
-def quantize_to_bits(x, levels_minus_1):
-    """Symmetric bit quantization; levels_minus_1 = 2**(bits-1) - 1 (f32)."""
+def quantize_to_bits(x, levels_minus_1, inv_levels_m1):
+    """Symmetric bit quantization; levels_minus_1 = 2**(bits-1) - 1 (f32).
+
+    The downscale is a multiply by a host-precomputed f32 reciprocal, not a
+    division: XLA:TPU f32 division is not guaranteed correctly rounded, and
+    any last-ulp wiggle here lands directly on the quantizer's output grid.
+    All ops stay f32 so the NumPy twin (utils/music.quantize_to_bits_f32_np)
+    is bit-identical."""
     y = jnp.clip(x, -1.0, 1.0)
-    return jnp.round(y * levels_minus_1) / levels_minus_1
+    return jnp.round(y * levels_minus_1) * inv_levels_m1
 
 
 # ----------------------------------------------------------------------------
@@ -119,16 +125,22 @@ def lfsr_noise(i, seed, orbit_pm1, base, pos, clen):
 # ----------------------------------------------------------------------------
 
 def psg_note(i, n, hz, vel, duty, use_noise, A, D, R, s, levels_m1,
-             fade_samples, lp_a, seed, orbit_pm1, base, pos, clen, sr):
+             inv_levels_m1, fade_samples, lp_a, seed, orbit_pm1, base, pos,
+             clen, sr):
     """One PSG note over padded indices i[L]; masked beyond n."""
     env = adsr_clamped(i, n, A, D, R, s)
-    t = i.astype(jnp.float32) / jnp.float32(sr)
-    phase = jnp.mod(t * hz, jnp.float32(1.0))
+    # t via reciprocal multiply and phase via explicit floor-subtract:
+    # exact-rounded IEEE ops on every backend, so the duty-cycle sign
+    # decision below can never flip vs the NumPy oracle (a square flip is
+    # a full +-2 swing -> ~-54 dBFS through the 10-bit quantizer)
+    t = i.astype(jnp.float32) * jnp.float32(1.0 / float(sr))
+    prod = t * hz
+    phase = prod - jnp.floor(prod)
     square = jnp.where(phase < duty, jnp.float32(1.0), jnp.float32(-1.0))
     noise = lfsr_noise(i, seed, orbit_pm1, base, pos, clen)
     sig = jnp.where(use_noise, noise, square)
     y = sig * env * vel
-    y = quantize_to_bits(y, levels_m1)
+    y = quantize_to_bits(y, levels_m1, inv_levels_m1)
     y = y * micro_fade_gain(i, n, fade_samples)
     y = one_pole_lp(y, lp_a)
     return jnp.where(i < n, y, jnp.float32(0.0))
@@ -139,7 +151,7 @@ def psg_note(i, n, hz, vel, duty, use_noise, A, D, R, s, levels_m1,
 # ----------------------------------------------------------------------------
 
 def fm_note(i, n, f_ops, vel, chan_params, fade_samples, lp_a1, lp_a2,
-            dac_levels_m1, sr):
+            dac_levels_m1, inv_dac_levels_m1, sr):
     """One 4-operator FM note over padded indices i[L].
 
     f_ops: f32[4] per-op frequencies in Hz (host-precomputed
@@ -152,8 +164,15 @@ def fm_note(i, n, f_ops, vel, chan_params, fade_samples, lp_a1, lp_a2,
     Phases are evaluated in CYCLES with exact frac reduction (ops/detmath.py)
     so the NumPy oracle matches bit-for-bit; the three algorithms are all
     evaluated and selected — branchless for vmap.
+
+    FMA/division discipline: t comes from a reciprocal multiply (XLA:TPU
+    division is not guaranteed correctly rounded), and every multiply that
+    feeds an add (the PM terms, the feedback tap) uses 12-bit-rounded
+    operands so the product is exact and XLA's FMA contraction cannot change
+    rounding vs the oracle.  A last-ulp difference anywhere upstream of the
+    14-bit DAC quantizer flips a whole quantization step (-78 dBFS).
     """
-    t = i.astype(jnp.float32) / jnp.float32(sr)
+    t = i.astype(jnp.float32) * jnp.float32(1.0 / float(sr))
 
     lfo_depth = chan_params["lfo_depth"]
     vib = detmath.sin_cycles(chan_params["lfo_hz"] * t)
@@ -173,25 +192,32 @@ def fm_note(i, n, f_ops, vel, chan_params, fade_samples, lp_a1, lp_a2,
                            chan_params["R"][k], chan_params["s"][k])
         return sig * env * chan_params["level"][k]
 
-    fb = jnp.maximum(jnp.float32(0.0), chan_params["feedback"])
-    idx = chan_params["index_cyc"]
+    from .fixq import round_sig12
+    fb = round_sig12(jnp.maximum(jnp.float32(0.0), chan_params["feedback"]))
+    idx = round_sig12(chan_params["index_cyc"])
+
+    def pm(k, m):
+        # exact product (both operands 12-bit significands): immune to FMA
+        # contraction into the r0 + pm add inside op_sig
+        return idx[k] * round_sig12(m)
 
     # shared by algorithms 1 & 2: op4 with one-sample feedback delay
     o4 = op_sig(3, None)
-    o4fb = o4 + fb * jnp.concatenate([jnp.zeros(1, jnp.float32), o4[:-1]])
+    o4fb = o4 + fb * round_sig12(
+        jnp.concatenate([jnp.zeros(1, jnp.float32), o4[:-1]]))
     use_fb = fb > 0
     o4_eff = jnp.where(use_fb, o4fb, o4)
 
     # algorithm 1: 4 -> 3 -> 2 -> 1
-    a1_o3 = op_sig(2, idx[2] * o4_eff)
-    a1_o2 = op_sig(1, idx[1] * a1_o3)
-    a1_o1 = op_sig(0, idx[0] * a1_o2)
+    a1_o3 = op_sig(2, pm(2, o4_eff))
+    a1_o2 = op_sig(1, pm(1, a1_o3))
+    a1_o1 = op_sig(0, pm(0, a1_o2))
     y1 = a1_o1
 
     # algorithm 2: (4->3) + (2->1), sum * 0.6
     a2_o3 = a1_o3                         # same 4->3 stack
     a2_o2 = op_sig(1, None)
-    a2_o1 = op_sig(0, idx[0] * a2_o2)
+    a2_o1 = op_sig(0, pm(0, a2_o2))
     y2 = (a2_o3 + a2_o1) * jnp.float32(0.6)
 
     # algorithm 3: all carriers * 0.25
@@ -202,7 +228,7 @@ def fm_note(i, n, f_ops, vel, chan_params, fade_samples, lp_a1, lp_a2,
     y = jnp.where(alg == 1, y1, jnp.where(alg == 2, y2, y3))
 
     y = y * vel
-    y = quantize_to_bits(y, dac_levels_m1)
+    y = quantize_to_bits(y, dac_levels_m1, inv_dac_levels_m1)
     y = y * micro_fade_gain(i, n, fade_samples)
     y = one_pole_lp(y, lp_a1)
     y = one_pole_lp(y, lp_a2)

@@ -99,3 +99,14 @@ def quantize_to_bits_np(x: np.ndarray, bits: int) -> np.ndarray:
     y = np.clip(x, -1.0, 1.0)
     yq = np.round(y * (levels - 1)) / (levels - 1)
     return yq.astype(np.float32)
+
+
+def quantize_to_bits_f32_np(x: np.ndarray, bits: int) -> np.ndarray:
+    """Bit-exact NumPy twin of ops/synth.quantize_to_bits: all-f32 op
+    sequence with a reciprocal multiply (the framework semantics the device
+    kernels use; quantize_to_bits_np above keeps the reference's f64
+    promotion for the music-math API)."""
+    lm1 = 2 ** (bits - 1) - 1
+    inv = np.float32(1.0 / float(lm1))
+    y = np.clip(np.asarray(x, np.float32), np.float32(-1.0), np.float32(1.0))
+    return (np.round(y * np.float32(lm1)) * inv).astype(np.float32)

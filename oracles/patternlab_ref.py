@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from audio_suite_tpu.utils.music import midi_to_hz, quantize_to_bits_np
+from audio_suite_tpu.utils.music import midi_to_hz, quantize_to_bits_f32_np
 from audio_suite_tpu.models.patternlab import (
     YM2612_DAC_BITS, POST_LP_HZ, default_fm_channels, default_psg_channels,
 )
@@ -98,9 +98,11 @@ def _noise_lfsr(n: int, seed: int = 1) -> np.ndarray:
 
 
 def _square(sr, hz, n, duty):
-    """app/synth_psg.py:83-86, with f32 ops matching the engine."""
-    t = np.arange(n, dtype=np.float32) / np.float32(sr)
-    phase = np.mod(t * np.float32(hz), np.float32(1.0))
+    """app/synth_psg.py:83-86, with f32 ops matching the engine bit for bit
+    (reciprocal-multiply t, explicit floor-subtract phase)."""
+    t = np.arange(n, dtype=np.float32) * np.float32(1.0 / float(sr))
+    prod = (t * np.float32(hz)).astype(np.float32)
+    phase = (prod - np.floor(prod)).astype(np.float32)
     return np.where(phase < np.float32(duty), 1.0, -1.0).astype(np.float32)
 
 
@@ -113,9 +115,10 @@ def render_fm_note_np(sr, n, midi, vel, p):
     reference itself exhibits at large sin arguments.
     """
     from audio_suite_tpu.ops import detmath as dm
+    from audio_suite_tpu.ops.fixq import round_sig12_np as r12
     base = midi_to_hz(midi)
     ops = p.ops
-    t = np.arange(n, dtype=np.float32) / np.float32(sr)
+    t = np.arange(n, dtype=np.float32) * np.float32(1.0 / float(sr))
 
     if p.lfo_depth > 0.0:
         vib = dm.sin_cycles_np(np.float32(p.lfo_hz) * t)
@@ -138,33 +141,40 @@ def render_fm_note_np(sr, n, midi, vel, p):
         return (sig * env * np.float32(op.level)).astype(np.float32)
 
     def icyc(op):
-        return np.float32(op.index / (2.0 * np.pi))
+        # 12-bit-rounded PM depth — with the modulator also rounded the
+        # product is exact, so the engine's r0 + pm add cannot be changed
+        # by XLA FMA contraction (framework semantics, both sides)
+        return r12(np.float32(op.index / (2.0 * np.pi)))
+
+    def pm(op, m):
+        return icyc(op) * r12(m)
 
     fb = float(max(0.0, p.feedback))
+    fb32 = r12(np.float32(fb))
     if p.algorithm == 1:
         o4 = op_sig(ops[3], None)
         if fb > 0:
-            o4 = o4 + np.float32(fb) * np.concatenate(
-                [[0.0], o4[:-1]]).astype(np.float32)
-        o3 = op_sig(ops[2], icyc(ops[2]) * o4)
-        o2 = op_sig(ops[1], icyc(ops[1]) * o3)
-        o1 = op_sig(ops[0], icyc(ops[0]) * o2)
+            o4 = o4 + fb32 * r12(np.concatenate(
+                [[0.0], o4[:-1]]).astype(np.float32))
+        o3 = op_sig(ops[2], pm(ops[2], o4))
+        o2 = op_sig(ops[1], pm(ops[1], o3))
+        o1 = op_sig(ops[0], pm(ops[0], o2))
         y = o1
     elif p.algorithm == 2:
         o4 = op_sig(ops[3], None)
         if fb > 0:
-            o4 = o4 + np.float32(fb) * np.concatenate(
-                [[0.0], o4[:-1]]).astype(np.float32)
-        o3 = op_sig(ops[2], icyc(ops[2]) * o4)
+            o4 = o4 + fb32 * r12(np.concatenate(
+                [[0.0], o4[:-1]]).astype(np.float32))
+        o3 = op_sig(ops[2], pm(ops[2], o4))
         o2 = op_sig(ops[1], None)
-        o1 = op_sig(ops[0], icyc(ops[0]) * o2)
-        y = (o3 + o1) * 0.6
+        o1 = op_sig(ops[0], pm(ops[0], o2))
+        y = (o3 + o1) * np.float32(0.6)
     else:
         y = (op_sig(ops[0], None) + op_sig(ops[1], None)
-             + op_sig(ops[2], None) + op_sig(ops[3], None)) * 0.25
+             + op_sig(ops[2], None) + op_sig(ops[3], None)) * np.float32(0.25)
 
-    y = (y * float(vel)).astype(np.float32)
-    y = quantize_to_bits_np(y, YM2612_DAC_BITS)
+    y = (y * np.float32(vel)).astype(np.float32)
+    y = quantize_to_bits_f32_np(y, YM2612_DAC_BITS)
     y = _apply_micro_fade(y, sr)
     y = _one_pole_lp(y, sr, POST_LP_HZ)
     y = _one_pole_lp(y, sr, 14000.0)
@@ -179,8 +189,8 @@ def render_psg_note_np(sr, n, midi, vel, p, seed=1):
     else:
         hz = midi_to_hz(midi)
         sig = _square(sr, hz, n, duty=float(np.clip(p.duty, 0.05, 0.95)))
-    y = sig * env * float(vel)
-    y = quantize_to_bits_np(y.astype(np.float32), int(p.bits))
+    y = sig * env * np.float32(vel)
+    y = quantize_to_bits_f32_np(y.astype(np.float32), int(p.bits))
     y = _apply_micro_fade(y, sr)
     y = _one_pole_lp(y, sr, 12000.0, min_cutoff=50.0)
     return y.astype(np.float32)
