@@ -115,41 +115,41 @@ def fix_to_f32(whole, frac):
 # Position addition / normalization
 # ----------------------------------------------------------------------------
 
-def pos_add(whole, frac, inc):
+def pos_add(whole, frac, inc, frac_bits: int = POS_FRAC_BITS):
     """(whole, frac) += inc  with carry normalization. inc may be negative;
     arithmetic right-shift implements floor division in both NumPy and XLA."""
     f = frac + inc
-    carry = f >> POS_FRAC_BITS
-    return whole + carry, f - (carry << POS_FRAC_BITS)
+    carry = f >> frac_bits
+    return whole + carry, f - (carry << frac_bits)
 
 
-def pos_add_np(whole, frac, inc):
+def pos_add_np(whole, frac, inc, frac_bits: int = POS_FRAC_BITS):
     f = frac + inc
-    carry = f >> POS_FRAC_BITS
-    return whole + carry, f - (carry << POS_FRAC_BITS)
+    carry = f >> frac_bits
+    return whole + carry, f - (carry << frac_bits)
 
 
 # ----------------------------------------------------------------------------
 # Segmented fixed-point prefix sum (Scrubber / Grid Audio phase accumulator)
 # ----------------------------------------------------------------------------
 
-def _seg_combine(a, b):
+def _seg_combine(a, b, frac_bits: int = POS_FRAC_BITS):
     """Associative combine for segmented fixed-point sums on int32 triples
     (whole, frac, has_reset).  Exact integer math — any association order
     yields identical results."""
     aw, af, ar = a
     bw, bf, br = b
     f = af + bf
-    carry = f >> POS_FRAC_BITS
+    carry = f >> frac_bits
     w = aw + bw + carry
-    f = f - (carry << POS_FRAC_BITS)
+    f = f - (carry << frac_bits)
     # segmented: if b starts a new segment, drop a entirely
     w = jnp.where(br, bw, w)
     f = jnp.where(br, bf, f)
     return w, f, ar | br
 
 
-def _hillis_steele_seg(w, f, r, axis):
+def _hillis_steele_seg(w, f, r, axis, frac_bits: int = POS_FRAC_BITS):
     """Inclusive segmented scan via Hillis-Steele doubling along `axis`.
 
     Plain shift-pad-combine steps compile to a handful of static-shape HLO
