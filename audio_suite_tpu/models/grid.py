@@ -19,15 +19,16 @@ their outputs ship to device as the flat pattern bank.
 """
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Any, Dict, List, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops import envdet, fixq
 from ..plugins.host import load_py_module
 from ..utils import io as audio_io
 
@@ -363,12 +364,16 @@ def render_track_pattern(project: GridProject, ti: int, t: Track,
 
 def placement_indices(n_total: int, pat_n: int, start_offset_seconds: float,
                       sr: int, loop_to_master: bool,
-                      speed: Optional[np.ndarray], reset_samples: set):
+                      speed: Optional[np.ndarray], reset_samples: set,
+                      start_idx: Optional[int] = None):
     """Vectorized twin of the reference's per-sample loop: returns
     (idx i64[n_total], valid bool[n_total]) such that
     out[i] = pat[idx[i]] where valid — exact f64 position integration,
-    resets via segmented cumulative sums."""
-    start_idx = int(round(start_offset_seconds * sr))
+    resets via segmented cumulative sums.  With 2**-22-quantized f32
+    speeds the f64 accumulation is exact, so results are bit-identical to
+    the device kernel's int32 fixed-point positions."""
+    if start_idx is None:
+        start_idx = int(round(start_offset_seconds * sr))
 
     # initial phase for negative offsets (:792-798)
     pre_phase = 0.0
@@ -430,90 +435,246 @@ def placement_indices(n_total: int, pat_n: int, start_offset_seconds: float,
     return idx, valid
 
 
-@partial(jax.jit, donate_argnums=())
-def _mix_kernel(flat_patterns, idx, valid, gains):
-    """Device mixdown: gather each track's placed samples from the flat
-    pattern bank, apply gain, sum, clip +-1 (grid_audio_app.py:745-756)."""
-    placed = jnp.where(valid, flat_patterns[idx], 0.0)     # [T, N]
-    mix = jnp.sum(placed * gains[:, None], axis=0)
-    return jnp.clip(mix, -1.0, 1.0)
+# ---------------------------------------------------------------------------
+# Device table mixdown: ONE jitted kernel reconstructs every track's
+# placement on device from compact control tables (resets + static config),
+# computes the cross-track mod-speed chain with the envdet twins, gathers
+# from the flat pattern bank, and mixes.  Host->device payload per render is
+# the pattern bank + O(resets) ints — no per-sample index uploads
+# (round-1 review item: the placed-track gather was host-only).
+# ---------------------------------------------------------------------------
+
+MIX_PAD = 32768          # render length bucketing (compile-cache reuse)
 
 
-def render_mixdown(project: GridProject,
-                   return_tracks: bool = False):
-    """Full mixdown (grid_audio_app.py:708-756): restart pre-pass ->
-    per-track pattern -> mod-speed envelope -> reset-aware placement ->
-    gain -> sum -> clip (+ optional 0.98 peak normalize)."""
+@dataclass(frozen=True)
+class _TrackMeta:
+    pat_n: int           # pattern length in samples (0 = silent track)
+    base: int            # offset of this track's pattern in the flat bank
+    start_idx: int       # start offset in master samples (may be < 0)
+    loop: bool
+    mod_src: int         # index of mod-source track, -1 = unmodulated
+    win: int             # RMS window (samples)
+    a_q12: int           # mod amount in 2**-12 units (envdet.amount_q12)
+    gain: float          # linear gain, exact f32 value
+
+
+@dataclass(frozen=True)
+class _MixMeta:
+    n_total: int
+    n_pad: int
+    tracks: tuple
+
+
+def _track_positions(i, inc, reset_mask, tm: _TrackMeta, n_total: int):
+    """Exclusive segmented fixed-point positions + validity for one track
+    (the reference's per-sample phase accumulator, grid_audio_app.py:786-814,
+    as exact int32 math).  `inc` is the per-sample speed in 2**-22 units."""
+    inc_eff = jnp.where(i >= tm.start_idx, inc, 0)
+    shifted = jnp.concatenate([jnp.zeros(1, jnp.int32), inc_eff[:-1]])
+    shifted = jnp.where(reset_mask, 0, shifted)
+
+    if tm.start_idx < 0:
+        prelen = min(-tm.start_idx, n_total)
+        if tm.mod_src >= 0:
+            # pre-roll phase = sum of the first prelen increments
+            # (reference: np.sum(speed[:prelen]); needs the unsegmented sum)
+            cw, cf = fixq.segmented_pos_cumsum(
+                inc, jnp.zeros_like(reset_mask))
+            pre_w, pre_f = cw[prelen - 1], cf[prelen - 1]
+        else:
+            pre_w, pre_f = jnp.int32(prelen), jnp.int32(0)
+    else:
+        pre_w, pre_f = jnp.int32(0), jnp.int32(0)
+
+    whole, frac = fixq.segmented_pos_cumsum(shifted, reset_mask,
+                                            init_whole=pre_w,
+                                            init_frac=pre_f)
+    local = i - tm.start_idx
+    valid = (local >= 0) & (i < n_total)
+    if tm.loop:
+        idx = jnp.remainder(whole, tm.pat_n)
+    else:
+        idx = whole
+        stop_before = local >= tm.pat_n       # break BEFORE reading i
+        wa, _ = fixq.pos_add(whole, frac, inc_eff)
+        stop_after = (wa >= tm.pat_n) & valid  # break AFTER reading i
+        sb = jnp.cumsum(stop_before.astype(jnp.int32)) > 0
+        sa = (jnp.cumsum(stop_after.astype(jnp.int32))
+              - stop_after.astype(jnp.int32)) > 0
+        valid = valid & ~sb & ~sa & (idx >= 0) & (idx < tm.pat_n)
+    return jnp.clip(idx, 0, tm.pat_n - 1), valid
+
+
+def _mix_body(meta: _MixMeta):
+    def run(flat_pat, resets):
+        """resets: int32 [n_tracks, R_pad], entries >= n_pad are padding."""
+        i = jnp.arange(meta.n_pad, dtype=jnp.int32)
+        placed_cache = {}
+        mix = jnp.zeros(meta.n_pad, jnp.float32)
+        mod_srcs = {tm.mod_src for tm in meta.tracks if tm.mod_src >= 0}
+        for ti, tm in enumerate(meta.tracks):
+            if tm.pat_n <= 0:
+                placed = jnp.zeros(meta.n_pad, jnp.float32)
+            else:
+                if tm.mod_src >= 0:
+                    inc = envdet.mod_speed_fix(
+                        placed_cache[tm.mod_src][: meta.n_total],
+                        tm.win, tm.a_q12)
+                    inc = jnp.pad(inc, (0, meta.n_pad - meta.n_total),
+                                  constant_values=1 << fixq.POS_FRAC_BITS)
+                else:
+                    inc = jnp.full(meta.n_pad, 1 << fixq.POS_FRAC_BITS,
+                                   jnp.int32)
+                reset_mask = jnp.zeros(meta.n_pad, jnp.bool_) \
+                    .at[resets[ti]].set(True, mode="drop")
+                idx, valid = _track_positions(i, inc, reset_mask, tm,
+                                              meta.n_total)
+                # the flat bank is gain-premultiplied on the host: a device
+                # `gather*gain + mix` would FMA-contract and diverge from
+                # the host twin by 1 ulp
+                placed = jnp.where(valid, flat_pat[tm.base + idx],
+                                   jnp.float32(0.0))
+            if ti in mod_srcs:
+                placed_cache[ti] = placed
+            mix = mix + placed                 # pinned track order
+        return jnp.clip(mix, -1.0, 1.0)[: meta.n_total]
+
+    return run
+
+
+@functools.lru_cache(maxsize=32)
+def _mix_fn(meta: _MixMeta):
+    return jax.jit(_mix_body(meta))
+
+
+def mod_speed_for_track(placed_src: np.ndarray, smoothing_ms: float,
+                        amount: float, sr: int) -> np.ndarray:
+    """Quantized f32 per-sample speed from a mod-source track's placed
+    audio — the envdet twin chain shared bit-for-bit by the host engine,
+    the device kernel and the oracle tests (grid_audio_app.py:735-742
+    semantics; numerical tolerance documented in ops/envdet.py)."""
+    win = max(1, int(round(max(0.0, smoothing_ms) * 0.001 * sr)))
+    inc = envdet.mod_speed_fix_np(placed_src, win, envdet.amount_q12(amount))
+    return envdet.speed_q_from_fix_np(inc)
+
+
+def _build_mix_program(project: GridProject):
+    """Host pre-pass shared by both engines: restart events, per-track
+    patterns, reset tables, and the static placement config."""
     sr = project.sample_rate
     master_dur = project.master.duration(project.tracks)
     n_total = int(round(master_dur * sr))
-
     restarts = collect_restart_events(project, master_dur)
 
-    pats: List[np.ndarray] = []
-    idxs: List[np.ndarray] = []
-    valids: List[np.ndarray] = []
-    gains: List[float] = []
-    placed_tracks: List[np.ndarray] = []
-
+    rows = []
     for ti, t in enumerate(project.tracks):
         divs = t.build_divisions()
-        if not divs:
-            placed_tracks.append(np.zeros(n_total, np.float32))
-            continue
-        t.ensure_cells(len(divs))
-        pat_dur = float(sum(divs))
-        if pat_dur <= 1e-9:
-            placed_tracks.append(np.zeros(n_total, np.float32))
-            continue
+        pat = np.zeros(0, np.float32)
+        pat_dur = float(sum(divs)) if divs else 0.0
         sync_pts = parse_float_list(t.sync_points_text)
-        pat = render_track_pattern(project, ti, t, divs, pat_dur, sync_pts)
-
-        speed = None
-        if (t.mod_source_index >= 0 and t.mod_amount > 0
-                and t.mod_source_index < ti):
-            src_audio = placed_tracks[t.mod_source_index]
-            win = int(round(max(0.0, t.mod_smoothing_ms) * 0.001 * sr))
-            env = rms_envelope(src_audio, max(1, win))
-            m = float(np.max(env)) if len(env) else 0.0
-            if m > 1e-12:
-                env = (env / m).astype(np.float32)
-                speed = np.clip(1.0 + float(t.mod_amount) * env,
-                                0.25, 4.0).astype(np.float32)
-
+        if divs and pat_dur > 1e-9:
+            t.ensure_cells(len(divs))
+            pat = render_track_pattern(project, ti, t, divs, pat_dur,
+                                       sync_pts)
         reset = set(int(round(p * sr)) for p in sync_pts if p >= 0.0)
         reset |= restarts[ti]
+        reset = np.asarray(sorted(r for r in reset if 0 <= r < n_total),
+                           np.int32)
+        modded = (t.mod_source_index >= 0 and t.mod_amount > 0
+                  and t.mod_source_index < ti and len(pat) > 0)
+        rows.append({
+            "pat": pat,
+            "start_idx": int(round(t.start_offset_seconds * sr)),
+            "loop": bool(t.loop_to_master),
+            "resets": reset,
+            "mod_src": int(t.mod_source_index) if modded else -1,
+            "win": max(1, int(round(max(0.0, t.mod_smoothing_ms)
+                                    * 0.001 * sr))),
+            "a_q12": envdet.amount_q12(t.mod_amount) if modded else 0,
+            "gain": float(np.float32(10.0 ** (float(t.gain_db) / 20.0))),
+        })
+    return n_total, rows
 
+
+def _host_mixdown(n_total: int, rows: list, return_tracks: bool):
+    """Host engine: exact integer placement via placement_indices (f64
+    accumulation of 2**-22-quantized speeds is exact, so it matches the
+    device kernel's int32 positions bit-for-bit), host gather + mix."""
+    placed_tracks: List[np.ndarray] = []
+    mix = np.zeros(n_total, np.float32)
+    for row in rows:
+        pat = row["pat"]
+        if len(pat) == 0:
+            placed_tracks.append(np.zeros(n_total, np.float32))
+            continue
+        speed = None
+        if row["mod_src"] >= 0:
+            inc = envdet.mod_speed_fix_np(placed_tracks[row["mod_src"]],
+                                          row["win"], row["a_q12"])
+            speed = envdet.speed_q_from_fix_np(inc)
         idx, valid = placement_indices(
-            n_total, len(pat), t.start_offset_seconds, sr,
-            bool(t.loop_to_master), speed, reset)
-        gain_lin = float(10.0 ** (float(t.gain_db) / 20.0))
-
-        pats.append(pat)
-        idxs.append(idx)
-        valids.append(valid)
-        gains.append(gain_lin)
-        # host copy of placed track for downstream mod sources
-        placed = np.where(valid, pat[idx], 0.0).astype(np.float32) * gain_lin
+            n_total, len(pat), 0.0, 1, row["loop"], speed,
+            set(int(r) for r in row["resets"]), start_idx=row["start_idx"])
+        placed = np.where(valid, pat[idx], 0.0).astype(np.float32) \
+            * np.float32(row["gain"])
         placed_tracks.append(placed)
+        mix = mix + placed                     # pinned track order
+    mix = np.clip(mix, -1.0, 1.0).astype(np.float32)
+    return (mix, placed_tracks) if return_tracks else (mix, None)
 
-    if not pats:
-        mix = np.zeros(n_total, np.float32)
-    elif len(pats) <= 8:
-        # the placed tracks are already materialized on the host (they feed
-        # the mod-source chain); for small projects, re-gathering on device
-        # costs more in index uploads (~16 B/sample/track) than the math —
-        # sum + clip here, exactly the device kernel's arithmetic
-        mix = np.clip(np.sum([pt for pt in placed_tracks if pt.size],
-                             axis=0, dtype=np.float32), -1.0, 1.0)             .astype(np.float32)
+
+def _device_mixdown(n_total: int, rows: list):
+    """Device engine: flat pattern bank + reset tables -> one jit call."""
+    n_pad = -(-max(1, n_total) // MIX_PAD) * MIX_PAD
+    bases, flat, metas = [], [], []
+    off = 0
+    for row in rows:
+        bases.append(off)
+        flat.append(row["pat"] * np.float32(row["gain"]))
+        off += len(row["pat"])
+    flat_pat = (np.concatenate(flat).astype(np.float32)
+                if off else np.zeros(1, np.float32))
+    # pad the bank to a power of two (compile-cache bucketing); base offsets
+    # are static meta so padding never aliases into a real pattern
+    cap = 1 << max(4, int(np.ceil(np.log2(max(2, flat_pat.size)))))
+    flat_pat = np.pad(flat_pat, (0, cap - flat_pat.size))
+
+    r_max = max([len(r["resets"]) for r in rows] + [1])
+    r_cap = 1 << int(np.ceil(np.log2(max(2, r_max))))
+    resets = np.full((len(rows), r_cap), n_pad, np.int32)
+    for ti, row in enumerate(rows):
+        resets[ti, :len(row["resets"])] = row["resets"]
+
+    for ti, row in enumerate(rows):
+        metas.append(_TrackMeta(
+            pat_n=len(row["pat"]), base=bases[ti],
+            start_idx=row["start_idx"], loop=row["loop"],
+            mod_src=row["mod_src"], win=row["win"], a_q12=row["a_q12"],
+            gain=row["gain"]))
+    meta = _MixMeta(n_total=n_total, n_pad=n_pad, tracks=tuple(metas))
+    return np.asarray(_mix_fn(meta)(flat_pat, resets))
+
+
+def render_mixdown(project: GridProject,
+                   return_tracks: bool = False,
+                   engine: str = "device"):
+    """Full mixdown (grid_audio_app.py:708-756): restart pre-pass ->
+    per-track pattern -> mod-speed envelope -> reset-aware placement ->
+    gain -> sum -> clip (+ optional 0.98 peak normalize).
+
+    engine="device" (default): the whole placement + mod chain + mix runs
+    as ONE jitted kernel from compact tables.  engine="host": NumPy twin
+    (exact same integers/floats; the measured fallback and the
+    cross-validation path).  return_tracks always uses the host twin since
+    it materializes every placed track anyway."""
+    n_total, rows = _build_mix_program(project)
+
+    if engine == "device" and not return_tracks:
+        mix = _device_mixdown(n_total, rows)
+        placed_tracks = None
     else:
-        bases = np.cumsum([0] + [len(p) for p in pats[:-1]])
-        flat = np.concatenate(pats).astype(np.float32)
-        idx_m = np.stack([b + ix for b, ix in zip(bases, idxs)])
-        valid_m = np.stack(valids)
-        mix = np.asarray(_mix_kernel(flat, idx_m.astype(np.int32),
-                                     valid_m,
-                                     np.asarray(gains, np.float32)))
+        mix, placed_tracks = _host_mixdown(n_total, rows, True)
 
     if project.normalize:
         peak = float(np.max(np.abs(mix))) if mix.size else 0.0

@@ -1,0 +1,357 @@
+"""Deterministic envelope -> mod-speed chain (JAX + NumPy twins).
+
+Grid Audio's clock modulation derives a per-sample speed from the RMS
+envelope of an earlier rendered track (grid_audio_app_0.2/
+grid_audio_app.py:735-742: moving-average of x**2, sqrt, normalize to max,
+speed = clip(1 + amount*env, 0.25, 4)).  To run the whole mixdown in ONE
+device kernel, that chain must produce bit-identical results on host NumPy
+and on device.
+
+Cross-backend float hazards and how each is closed:
+
+- **FMA contraction**: XLA fuses ``add(mul(a, b), c)`` into an FMA whose
+  unrounded product diverges from NumPy's mul+add — measured on XLA:CPU,
+  and ``lax.optimization_barrier`` does NOT stop it.  Defense: every float
+  product in this module is EXACT (Veltkamp 12-bit split squares; exact
+  power-of-two scales), so contraction cannot change the value.
+- **Association order**: the cumsum is a Hillis-Steele doubling scan —
+  explicit shift+add levels, the same DAG on both backends (XLA does not
+  reassociate float adds).
+- **div / sqrt rounding**: XLA:TPU pins down neither.  Defense: the
+  normalize->sqrt->speed stage is pure int32 arithmetic (integer division
+  is exact by definition; integer sqrt = f32 estimate + +-1 correction,
+  exact regardless of the estimate's rounding).
+
+Numerical fidelity vs the reference's f64 np.convolve chain: the envelope
+is quantized to 15 bits, its normalization to 14, the mod amount to 2**-12,
+and the box sums accumulate in f32 — a few 1e-4 worst-case on the speed
+curve, a control-signal tolerance documented exactly like
+grid.moving_average's O(n) rewrite.  What the twins buy is that the host
+oracle, the host engine and the device engine all consume ONE bit-identical
+speed array, so placement decisions (integer phase) never diverge.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import fixq
+
+_HI_MASK = np.int32(np.uint32(0xFFFFF000).view(np.int32))  # drop 12 mantissa
+_ENV_BITS = 15
+_POS_ONE = np.int32(1 << fixq.POS_FRAC_BITS)
+_SPEED_LO = np.int32(1 << (fixq.POS_FRAC_BITS - 2))      # 0.25
+_SPEED_HI = np.int32(4 << fixq.POS_FRAC_BITS)            # 4.0
+
+
+# ---------------------------------------------------------------------------
+# Exact square via mantissa-mask splitting (products of 12-bit halves are
+# exact, so FMA contraction is value-preserving).  The split itself is pure
+# integer masking — a multiplicative Veltkamp split would reintroduce the
+# very mul-feeding-sub contraction hazard it is meant to avoid.
+# ---------------------------------------------------------------------------
+
+def exact_sq(x):
+    """x**2 with every multiply exact: hi = x with its low 12 mantissa bits
+    zeroed (<=12-bit significand), lo = x - hi (exact, <=12 bits), square
+    as hi*hi + (2*hi)*lo + lo*lo.  The two adds round, but adds are
+    bit-identical IEEE ops on both backends."""
+    x = jnp.asarray(x, jnp.float32)
+    xb = jax.lax.bitcast_convert_type(x, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(xb & _HI_MASK, jnp.float32)
+    lo = x - hi
+    return (hi * hi + (hi + hi) * lo) + lo * lo
+
+
+def exact_sq_np(x):
+    x = np.asarray(x, np.float32)
+    hi = (x.view(np.int32) & _HI_MASK).view(np.float32)
+    lo = np.float32(x - hi)
+    return np.float32(np.float32(np.float32(hi * hi)
+                                 + np.float32(np.float32(hi + hi) * lo))
+                      + np.float32(lo * lo))
+
+
+# ---------------------------------------------------------------------------
+# Hillis-Steele f32 cumsum (same association order on both backends)
+# ---------------------------------------------------------------------------
+
+def hs_cumsum_f32(x):
+    """Inclusive f32 cumsum via shift-doubling.  log2(n) vector adds, each
+    IEEE f32 — the NumPy twin performs the identical sequence, so results
+    are bit-equal (unlike np.cumsum's sequential order vs any parallel
+    scan)."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    shift = 1
+    while shift < n:
+        x = x + jnp.pad(x, (shift, 0))[:n]
+        shift *= 2
+    return x
+
+
+def hs_cumsum_f32_np(x):
+    x = np.asarray(x, np.float32).copy()
+    n = x.shape[0]
+    shift = 1
+    while shift < n:
+        x[shift:] = x[shift:] + x[:-shift]
+        shift *= 2
+    return x
+
+
+def _hs_rows(x):
+    """Inclusive HS cumsum along axis 1 of [K, B] (jnp)."""
+    b = x.shape[1]
+    shift = 1
+    while shift < b:
+        x = x + jnp.pad(x, ((0, 0), (shift, 0)))[:, :b]
+        shift *= 2
+    return x
+
+
+def _hs_rows_np(x):
+    x = np.asarray(x, np.float32).copy()
+    b = x.shape[1]
+    shift = 1
+    while shift < b:
+        x[:, shift:] = x[:, shift:] + x[:, :-shift]
+        shift *= 2
+    return x
+
+
+def _blocked_prefixes(x2, n):
+    """(cl [K, B+1], cb [K+1]) blocked prefix tables for box sums (jnp)."""
+    k = -(-n // _BOX_BLOCK)
+    xb = jnp.pad(x2, (0, k * _BOX_BLOCK - n)).reshape(k, _BOX_BLOCK)
+    cl = jnp.pad(_hs_rows(xb), ((0, 0), (1, 0)))
+    cb = jnp.pad(hs_cumsum_f32(cl[:, _BOX_BLOCK]), (1, 0))
+    return cl, cb
+
+
+def _blocked_prefixes_np(x2, n):
+    k = -(-n // _BOX_BLOCK)
+    xb = np.pad(np.asarray(x2, np.float32),
+                (0, k * _BOX_BLOCK - n)).reshape(k, _BOX_BLOCK)
+    cl = np.pad(_hs_rows_np(xb), ((0, 0), (1, 0)))
+    cb = np.pad(hs_cumsum_f32_np(cl[:, _BOX_BLOCK]), (1, 0))
+    return cl, cb
+
+
+# ---------------------------------------------------------------------------
+# Exact integer sqrt for 30-bit operands
+# ---------------------------------------------------------------------------
+
+def isqrt30(uq):
+    """floor(sqrt(uq)) for int32 uq in [0, 2**30]: f32 sqrt estimate + one
+    integer correction in each direction.  Exact no matter how the backend
+    rounds sqrt (the estimate is within 1 of the true root at this range;
+    (y+1)**2 <= 2**30 + 2**16 stays inside int32)."""
+    uq = jnp.asarray(uq, jnp.int32)
+    y = jnp.sqrt(uq.astype(jnp.float32)).astype(jnp.int32)
+    y = jnp.where(y * y > uq, y - 1, y)
+    y = jnp.where((y + 1) * (y + 1) <= uq, y + 1, y)
+    return y
+
+
+def isqrt30_np(uq):
+    uq = np.asarray(uq, np.int32)
+    y = np.sqrt(uq.astype(np.float32)).astype(np.int32)
+    y = np.where(y * y > uq, y - 1, y)
+    y = np.where((y + 1) * (y + 1) <= uq, y + 1, y)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Envelope -> speed (the full twin)
+# ---------------------------------------------------------------------------
+
+def _box_edges(n, win):
+    """moving_average's clipped 'same' window (grid.py / np.convolve):
+    output i sums x[i - win//2 .. i + (win-1)//2]."""
+    i = np.arange(n)
+    lo = np.clip(i - win // 2, 0, n)
+    hi = np.clip(i + (win - 1) // 2 + 1, 0, n)
+    return lo.astype(np.int32), hi.astype(np.int32)
+
+
+_BOX_BLOCK = 256
+_BOX_DIRECT_MAX = 8192     # windows below this use the binary decomposition
+
+
+def _box_index_tables(n, win):
+    """Host-precomputed gather tables for the blocked box sums."""
+    lo, hi = _box_edges(n, win)
+    b_lo = lo // _BOX_BLOCK
+    lo_off = lo - b_lo * _BOX_BLOCK
+    b_hi = (hi - 1) // _BOX_BLOCK
+    hi_off = hi - b_hi * _BOX_BLOCK
+    return b_lo, lo_off, b_hi, hi_off
+
+
+def _box_sums(cl, cb, tables):
+    """Box sums from blocked prefix tables (jnp and np twin via the same
+    code: both index ndarrays elementwise-identically).
+
+    A single global f32 cumsum would compute each box as the difference of
+    two huge prefixes — catastrophic cancellation turns total*2**-23 into
+    the box's ABSOLUTE error, which the sqrt then amplifies near zero.
+    Blocked sums keep every difference within one block (error ~ one block's
+    magnitude) and make the mid term an exact sum of full-block totals:
+    tail(lo's block) + mid(whole blocks) + head(hi's block), each term
+    non-negative, added in one pinned order."""
+    b_lo, lo_off, b_hi, hi_off = tables
+    tail = cl[b_lo, _BOX_BLOCK] - cl[b_lo, lo_off]
+    head = cl[b_hi, hi_off]
+    mid = cb[b_hi] - cb[b_lo + 1]
+    s_span = (tail + mid) + head
+    s_same = cl[b_lo, hi_off] - cl[b_lo, lo_off]
+    return jnp.where(b_hi == b_lo, s_same, s_span) \
+        if isinstance(cl, jnp.ndarray) else \
+        np.where(b_hi == b_lo, s_same, s_span).astype(np.float32)
+
+
+def _box_sums_direct(x2, n, win, np_mod):
+    """Box sums by binary decomposition of each (edge-clipped) window
+    length: level arrays S_k[i] = sum x2[i:i+2**k] built by shifted adds,
+    each window then assembled from the set bits of its length.  Zero
+    prefix differences -> the error stays RELATIVE to the box sum (a
+    prefix-difference scheme turns accumulated magnitude into absolute
+    error, which the sqrt amplifies near zero).  Used for win <
+    _BOX_DIRECT_MAX; memory is bit_length(win) level arrays."""
+    lo, hi = _box_edges(n, win)
+    w = (hi - lo).astype(np.int32)
+    levels = int(win).bit_length()
+    s = np_mod.zeros(n, np.float32)
+    pos = lo.copy()
+    level = np_mod.pad(x2, (0, 1 << levels))
+    bit_mask = []
+    for k in range(levels):
+        bit = ((w >> k) & 1).astype(bool)
+        idx = np.where(bit, pos, 0)              # host indices both paths
+        pos = pos + np.where(bit, np.int32(1 << k), np.int32(0))
+        bit_mask.append((bit, idx))
+    for k, (bit, idx) in enumerate(bit_mask):
+        term = np_mod.where(bit, level[idx], np.float32(0.0))
+        s = (s + term).astype(np.float32) if np_mod is np else s + term
+        if k + 1 < levels:
+            sh = 1 << k
+            if np_mod is np:
+                nxt = level.copy()
+                nxt[:-sh] = np.float32(nxt[:-sh] + level[sh:])
+                level = nxt
+            else:
+                level = level + jnp.pad(level[sh:], (0, sh))
+    return s
+
+
+def amount_q12(amount: float) -> int:
+    """Mod amount quantized to 2**-12 (static per track; documented
+    framework semantics for the user-facing parameter)."""
+    return int(np.rint(float(amount) * (1 << 12)))
+
+
+def _exp_scale_bits(smax_bits):
+    """f32 whose value is 2**(29 - floor(log2(smax))), built from exponent
+    bits only (exact scale factor; integer ops)."""
+    e = (smax_bits >> 23) - 127                   # unbiased exponent
+    return ((29 - e) + 127) << 23                 # bits of 2**(29-e)
+
+
+def mod_speed_fix(placed, win: int, a_q12: int):
+    """Device twin: placed f32 [n] -> int32 speed in 2**-22 units, [0.25,4].
+
+    Chain: box-sum of exact x**2 (HS cumsum + edge diffs; the /win of a
+    true moving average cancels in the normalization), exponent-normalize
+    so smax lands in [2**29, 2**30), two-stage integer division for a
+    30-bit u = s/smax, 15-bit integer sqrt, speed = 1 + a*env saturated in
+    int32 2**-22 units."""
+    placed = jnp.asarray(placed, jnp.float32)
+    n = placed.shape[0]
+    win = max(1, min(int(win), n))
+    x2 = exact_sq(placed)
+    if win < _BOX_DIRECT_MAX:
+        s = _box_sums_direct(x2, n, win, jnp)
+    else:
+        cl, cb = _blocked_prefixes(x2, n)
+        s = _box_sums(cl, cb, _box_index_tables(n, win))
+    s = jnp.maximum(s, 0.0)                       # cancellation guard
+    smax = jnp.maximum(jnp.max(s), jnp.float32(2.0 ** -40))
+    sb = jax.lax.bitcast_convert_type(smax, jnp.int32)
+    scale = jax.lax.bitcast_convert_type(_exp_scale_bits(sb), jnp.float32)
+    s_q = (s * scale).astype(jnp.int32)           # exact scale + trunc
+    smax_q = (smax * scale).astype(jnp.int32)     # in [2**29, 2**30)
+    d = jnp.maximum(smax_q >> _ENV_BITS, 1)
+    # two-stage long division: full 30-bit quotient u = s/smax (a 15-bit
+    # quotient's absolute error would blow up through the sqrt near zero)
+    q1 = s_q // d
+    r1 = s_q - q1 * d
+    q2 = (r1 << _ENV_BITS) // d
+    u30 = jnp.minimum((q1 << _ENV_BITS) + q2, jnp.int32(1 << 30))
+    e15 = isqrt30(u30)                            # floor(sqrt(u) * 2**15)
+    # a*env in 2**-22 units: f32 product (both factors exactly
+    # representable; feeds min/cast, not an add -> no contraction hazard),
+    # saturated before the int cast so huge amounts can't overflow int32
+    t = (jnp.float32(float(a_q12)) * e15.astype(jnp.float32)
+         * jnp.float32(2.0 ** -5))
+    t = jnp.clip(t, np.float32(-(1 << 26)), np.float32(1 << 26))
+    inc = _POS_ONE + t.astype(jnp.int32)
+    return jnp.clip(inc, _SPEED_LO, _SPEED_HI)
+
+
+def mod_speed_fix_np(placed, win: int, a_q12: int):
+    placed = np.asarray(placed, np.float32)
+    n = placed.shape[0]
+    win = max(1, min(int(win), n))
+    x2 = exact_sq_np(placed)
+    if win < _BOX_DIRECT_MAX:
+        s = _box_sums_direct(x2, n, win, np)
+    else:
+        cl, cb = _blocked_prefixes_np(x2, n)
+        s = _box_sums(cl, cb, _box_index_tables(n, win))
+    s = np.maximum(s, np.float32(0.0))
+    smax = np.maximum(np.max(s) if n else np.float32(0.0),
+                      np.float32(2.0 ** -40))
+    sb = int(np.float32(smax).view(np.int32))
+    scale = np.int32(_exp_scale_bits(sb)).view(np.float32)
+    s_q = (s * scale).astype(np.int32)
+    smax_q = np.int32(np.float32(smax * scale))
+    d = np.int32(max(int(smax_q) >> _ENV_BITS, 1))
+    q1 = s_q // d
+    r1 = s_q - q1 * d
+    q2 = (r1 << _ENV_BITS) // d
+    u30 = np.minimum((q1 << _ENV_BITS) + q2, np.int32(1 << 30))
+    e15 = isqrt30_np(u30)
+    t = np.float32(np.float32(np.float32(float(a_q12))
+                              * e15.astype(np.float32))
+                   * np.float32(2.0 ** -5))
+    t = np.clip(t, np.float32(-(1 << 26)), np.float32(1 << 26))
+    inc = _POS_ONE + t.astype(np.int32)
+    return np.clip(inc, _SPEED_LO, _SPEED_HI).astype(np.int32)
+
+
+def speed_q_from_fix_np(inc):
+    """Exact f32 view of the fixed-point speeds (2**-22 units) — what the
+    sequential oracle loop accumulates in f64."""
+    return (np.asarray(inc, np.int32).astype(np.float32)
+            * np.float32(1.0 / (1 << fixq.POS_FRAC_BITS)))
+
+
+def speed_is_active_np(placed, win: int) -> bool:
+    """Host-side structural decision mirroring the reference's
+    `max(env) > 1e-12 -> modulate` gate (grid_audio_app.py:739-741): the
+    device kernel's mod topology is static, so the gate must be decided on
+    the host from the same box sums the twin uses."""
+    placed = np.asarray(placed, np.float32)
+    n = placed.shape[0]
+    if n == 0:
+        return False
+    win = max(1, min(int(win), n))
+    x2 = exact_sq_np(placed)
+    if win < _BOX_DIRECT_MAX:
+        s = _box_sums_direct(x2, n, win, np)
+    else:
+        cl, cb = _blocked_prefixes_np(x2, n)
+        s = _box_sums(cl, cb, _box_index_tables(n, win))
+    return bool(np.max(s) > np.float32(1e-24))

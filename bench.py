@@ -200,31 +200,27 @@ def bench_grid_forestfire():
     rec = R.OSCRecorder()
     n_ca_steps = int(seconds * 30)   # reference tick rate over same window
 
+    # device table mixdown (the default engine): placement + mod chain +
+    # mix run on device from compact tables; patterns are host content
+    n_total = int(seconds * sr)
+    from audio_suite_tpu.ops import envdet
+    rows = [{
+        "pat": pat,
+        "start_idx": int(round(t.start_offset_seconds * sr)),
+        "loop": True,
+        "resets": np.asarray(sorted(
+            int(p * sr) for p in grid.parse_float_list(t.sync_points_text)
+            if 0 <= int(p * sr) < n_total), np.int32),
+        "mod_src": t.mod_source_index if t.mod_source_index >= 0 else -1,
+        "win": max(1, int(0.05 * sr)),
+        "a_q12": envdet.amount_q12(t.mod_amount),
+        "gain": float(np.float32(10.0 ** (t.gain_db / 20.0))),
+    } for t, pat in zip(tracks, pats)]
+
     out = {}
 
     def run():
-        # same adaptive mix as grid.render_mixdown: placed tracks are
-        # materialized on the host for the mod chain, so small projects sum
-        # there instead of re-gathering on device
-        placed = []
-        for ti, (t, pat) in enumerate(zip(tracks, pats)):
-            speed = None
-            if t.mod_source_index >= 0 and placed:
-                env = grid.rms_envelope(placed[t.mod_source_index],
-                                        int(0.05 * sr))
-                m = float(np.max(env)) or 1.0
-                speed = np.clip(1.0 + t.mod_amount * (env / m),
-                                0.25, 4.0).astype(np.float32)
-            resets = {int(p * sr) for p in
-                      grid.parse_float_list(t.sync_points_text)}
-            idx, valid = grid.placement_indices(
-                int(seconds * sr), len(pat), t.start_offset_seconds, sr,
-                True, speed, resets)
-            g = np.float32(10.0 ** (t.gain_db / 20.0))
-            placed.append((np.where(valid, pat[idx], 0.0)
-                           .astype(np.float32)) * g)
-        out["mix"] = np.clip(np.sum(placed, axis=0, dtype=np.float32),
-                             -1.0, 1.0)
+        out["mix"] = grid._device_mixdown(n_total, rows)
         stats = model.simulate(n_ca_steps)
         eng.run_stream(ff.stats_rows_to_dicts(stats), rec.send)
 

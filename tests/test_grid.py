@@ -146,7 +146,7 @@ def make_project(tmp_path):
 
 def test_mixdown_vs_oracle(tmp_path):
     project = make_project(tmp_path)
-    mix = grid.render_mixdown(project)
+    mix = grid.render_mixdown(project)                    # device engine
     n_total = int(round(2.5 * SR))
     assert mix.shape == (n_total,)
 
@@ -164,18 +164,15 @@ def test_mixdown_vs_oracle(tmp_path):
         speed = None
         if t.mod_source_index >= 0 and t.mod_amount > 0 \
                 and t.mod_source_index < ti:
-            win = int(round(t.mod_smoothing_ms * 0.001 * SR))
-            env = grid.rms_envelope(placed[t.mod_source_index], max(1, win))
-            m = float(np.max(env))
-            if m > 1e-12:
-                speed = np.clip(1.0 + t.mod_amount * (env / m), 0.25, 4.0) \
-                    .astype(np.float32)
+            speed = grid.mod_speed_for_track(placed[t.mod_source_index],
+                                             t.mod_smoothing_ms,
+                                             t.mod_amount, SR)
         resets = set(int(round(p * SR)) for p in sync if p >= 0.0)
         resets |= restarts[ti]
         y = np.zeros(n_total, np.float32)
         render_track_to_master_np(y, pat, len(pat), t.start_offset_seconds,
                                   SR, t.loop_to_master, speed, resets)
-        g = float(10.0 ** (t.gain_db / 20.0))
+        g = float(np.float32(10.0 ** (t.gain_db / 20.0)))
         placed.append(y * np.float32(g))
         pats.append(pat)
         placements.append(dict(start_offset_seconds=t.start_offset_seconds,
@@ -184,6 +181,51 @@ def test_mixdown_vs_oracle(tmp_path):
         gains.append(g)
     ref = mixdown_np(pats, placements, gains, n_total)
     assert max_dev_dbfs(mix, ref) <= -120.0
+
+    # host engine must agree with the device engine bit-for-bit
+    mix_h = grid.render_mixdown(project, engine="host")
+    assert np.array_equal(mix, mix_h)
+
+
+def test_device_host_mixdown_bit_equal(tmp_path):
+    """Device table kernel == host twin across mod chains (2 deep), sync
+    resets, negative/positive offsets, loop and non-loop tracks."""
+    cellp = tmp_path / "rndcell.py"
+    cellp.write_text(
+        "import numpy as np\n"
+        "def generate(sr, dur):\n"
+        "    n = int(round(sr*dur))\n"
+        "    rng = np.random.default_rng(5)\n"
+        "    return (0.5*rng.uniform(-1, 1, n)).astype(np.float32)\n")
+    t0 = grid.Track(name="a", mode="duration", duration_seconds=0.7,
+                    uniform_n=3, loop_to_master=True,
+                    sync_points_text="0.31, 1.17")
+    t0.ensure_cells(3)
+    t0.cells[0] = grid.CellSource("py", str(cellp))
+    t0.cells[2] = grid.CellSource("py", str(cellp))
+    t1 = grid.Track(name="b", mode="duration", duration_seconds=0.5,
+                    uniform_n=2, loop_to_master=True, mod_source_index=0,
+                    mod_amount=0.8, mod_smoothing_ms=30.0, gain_db=-3.0)
+    t1.ensure_cells(2)
+    t1.cells[0] = grid.CellSource("py", str(cellp))
+    t2 = grid.Track(name="c", mode="duration", duration_seconds=0.4,
+                    uniform_n=2, loop_to_master=False,
+                    start_offset_seconds=-0.05, mod_source_index=1,
+                    mod_amount=1.5, mod_smoothing_ms=10.0, gain_db=2.0)
+    t2.ensure_cells(2)
+    t2.cells[1] = grid.CellSource("py", str(cellp))
+    t3 = grid.Track(name="d", mode="duration", duration_seconds=0.3,
+                    uniform_n=1, loop_to_master=False,
+                    start_offset_seconds=0.8)
+    t3.ensure_cells(1)
+    t3.cells[0] = grid.CellSource("py", str(cellp))
+    p = grid.GridProject(tracks=[t0, t1, t2, t3],
+                         master=grid.MasterClock("fixed_seconds", 2.1),
+                         sample_rate=SR)
+    mix_d = grid.render_mixdown(p, engine="device")
+    mix_h = grid.render_mixdown(p, engine="host")
+    assert np.array_equal(mix_d, mix_h)
+    assert float(np.max(np.abs(mix_d))) > 1e-3
 
 
 def test_division_normalization_property():
