@@ -18,7 +18,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+
+def _apply_platform_env() -> None:
+    """Honor JAX_PLATFORMS via the config API.  Out-of-tree accelerator
+    plugins (e.g. the axon TPU tunnel) can override the environment
+    variable during backend discovery; jax.config.update is authoritative.
+    Must run before any engine import triggers backend init."""
+    plat = os.environ.get("JAX_PLATFORMS", "").strip()
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
 
 def _floats(s):
@@ -298,6 +311,7 @@ def build_parser():
 
 
 def main(argv=None):
+    _apply_platform_env()
     args = build_parser().parse_args(argv)
     args.fn(args)
 

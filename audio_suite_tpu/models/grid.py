@@ -624,7 +624,7 @@ def _host_mixdown(n_total: int, rows: list, return_tracks: bool):
     return (mix, placed_tracks) if return_tracks else (mix, None)
 
 
-def _device_mixdown(n_total: int, rows: list):
+def _device_mixdown(n_total: int, rows: list, device_out: bool = False):
     """Device engine: flat pattern bank + reset tables -> one jit call."""
     n_pad = -(-max(1, n_total) // MIX_PAD) * MIX_PAD
     bases, flat, metas = [], [], []
@@ -653,7 +653,8 @@ def _device_mixdown(n_total: int, rows: list):
             mod_src=row["mod_src"], win=row["win"], a_q12=row["a_q12"],
             gain=row["gain"]))
     meta = _MixMeta(n_total=n_total, n_pad=n_pad, tracks=tuple(metas))
-    return np.asarray(_mix_fn(meta)(flat_pat, resets))
+    y = _mix_fn(meta)(flat_pat, resets)
+    return y if device_out else np.asarray(y)
 
 
 def render_mixdown(project: GridProject,

@@ -185,10 +185,30 @@ def _inc_device(base_inc_q, js_q, seed, bs: int, consts):
     return jnp.rint(inc_f * jnp.float32(fixq.POS_ONE)).astype(jnp.int32)
 
 
+def span_bound_blocks(base_inc_q, js_q) -> int:
+    """Certain host-side upper bound on per-sample position movement (in
+    samples), from block-rate params only: |inc| <= max|base_inc| *
+    (1 + wow + flutter) * (1 + 8*js).  The counter-noise normal is
+    Box-Muller from a >=2**-32 uniform, so |nz| < 6.7 < 8 with certainty.
+    Replaces deriving the bound from the materialized per-sample increment
+    twin — 0.43 s of host hash/sin work per render that the device
+    synthesis recomputes anyway."""
+    if len(base_inc_q) == 0:
+        return 1
+    m = float(np.max(np.abs(base_inc_q)))
+    jmax = float(np.max(js_q)) if len(js_q) else 0.0
+    b = m * (1.0 + WOW_DEPTH + FLUTTER_DEPTH) * (1.0 + 8.0 * jmax)
+    return int(b) + 1
+
+
 def build_scrub_program(audio: np.ndarray, cfg: ScrubConfig,
-                        trace: GestureTrace, tape_pos0: float = 0.0) -> dict:
+                        trace: GestureTrace, tape_pos0: float = 0.0,
+                        with_inc: bool = False) -> dict:
     """Expand the block-rate trace into per-sample quantized increments and
-    per-block dropout gains (host, seeded NumPy RNG — shared with oracle)."""
+    per-block dropout gains (host, seeded NumPy RNG — shared with oracle).
+    with_inc=True additionally materializes the per-sample increment twin
+    `inc_fix` (the NumPy oracle path; the render path does not need it —
+    the device synthesizes increments from the block-rate params)."""
     audio = np.asarray(audio, np.float32)
     n = len(audio)
     sr = float(cfg.sample_rate)
@@ -232,7 +252,8 @@ def build_scrub_program(audio: np.ndarray, cfg: ScrubConfig,
 
     consts = _mod_consts(sr)
     # NumPy twin of the device increments (oracle input + span bound)
-    inc_fix = _inc_np(base_inc_q, js_q, cfg.seed, bs, consts)
+    inc_fix = (_inc_np(base_inc_q, js_q, cfg.seed, bs, consts)
+               if with_inc else None)
 
     # --- jumps -> segmented-scan resets (block-aligned) ---
     reset = np.zeros(T, np.bool_)
@@ -255,7 +276,7 @@ def build_scrub_program(audio: np.ndarray, cfg: ScrubConfig,
 
     return {
         "audio": audio,
-        "inc_fix": inc_fix,           # NumPy twin (oracle); device recomputes
+        "inc_fix": inc_fix,           # NumPy twin (oracle; with_inc only)
         "base_inc_q": base_inc_q,
         "js_q": js_q,
         "seed": int(cfg.seed),
@@ -373,12 +394,13 @@ def _read_blockwise(audio, whole, frac, span_blocks: int,
 
 
 @partial(jax.jit,
-         static_argnames=("block_size", "span_blocks", "heads_integer"))
+         static_argnames=("block_size", "span_blocks", "heads_integer",
+                          "out_i16"))
 def scrub_render_kernel(audio, base_inc_q, js_q, seed, mod_consts,
                         jump_flags, seg_bases_whole, seg_bases_frac,
                         env_blocks, head_off_whole, head_off_frac, head_gain,
                         block_size: int, span_blocks: int = 1,
-                        heads_integer: bool = False):
+                        heads_integer: bool = False, out_i16: bool = False):
     """Fully parallel scrub render: on-device increment synthesis (detmath
     LFOs + counter-noise jitter, bit-identical to the NumPy twin) ->
     segmented fixed-point prefix sum (exclusive) -> per-head wrap-around
@@ -424,16 +446,22 @@ def scrub_render_kernel(audio, base_inc_q, js_q, seed, mod_consts,
     buf = buf * head_gain
 
     env = jnp.repeat(env_blocks, block_size)
-    return buf * env
+    y = buf * env
+    if out_i16:
+        # PCM16 device conversion (wavcodec convention): half the d2h pull
+        return jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0) \
+            .astype(jnp.int16)
+    return y
 
 
 def render_scrub(audio: np.ndarray, cfg: ScrubConfig, trace: GestureTrace,
-                 tape_pos0: float = 0.0, stereo: bool = False) -> np.ndarray:
+                 tape_pos0: float = 0.0, stereo: bool = False,
+                 device_out: bool = False,
+                 pcm16: bool = False) -> np.ndarray:
     prog = build_scrub_program(audio, cfg, trace, tape_pos0)
     # NumPy args transfer bundled with the single jit call (one tunnel
     # roundtrip) — never device_put per array
-    span = int(np.max(np.abs(prog["inc_fix"])) // fixq.POS_ONE + 1) \
-        if len(prog["inc_fix"]) else 1
+    span = span_bound_blocks(prog["base_inc_q"], prog["js_q"])
     # round the static span up to a power of two: span only needs to UPPER-
     # bound per-sample movement, and bucketing stops every distinct gesture
     # top-speed from triggering a fresh jit compile
@@ -445,8 +473,10 @@ def render_scrub(audio: np.ndarray, cfg: ScrubConfig, trace: GestureTrace,
         prog["seg_bases_whole"], prog["seg_bases_frac"], prog["env_blocks"],
         prog["head_off_whole"], prog["head_off_frac"],
         np.float32(prog["head_gain"]), prog["block_size"], span,
-        heads_integer,
+        heads_integer, pcm16,
     )
+    if device_out:
+        return out
     out = np.asarray(out)
     if stereo:
         return np.column_stack([out, out])  # scrubber_0.7.py:233-234

@@ -93,31 +93,43 @@ def _interp_spectrum(X, k_in):
     return _lerp_uniform(X, k_in)
 
 
-def _lerp_uniform_affine(y, scale, block: int = 128, max_scale: float = 4.0):
+def _lerp_uniform_affine(y, scale, block: int = 512, max_scale: float = 4.0):
     """Gather-free lerp of y (uniform grid 0..nf-1) at AFFINE positions
     k*scale, zero outside the grid.
 
     TPU element gathers cost ~50 ns each (the naive lerp of a 270x16385
     spectrum batch measured ~0.45 s); affine positions are monotone with
     bounded step, so each output block of `block` bins only reads a
-    contiguous input window of ~max_scale*block bins.  The lerp becomes a
-    one-hot banded matrix times the window — MXU work plus one contiguous
-    dynamic_slice per block.  Equality-based one-hot construction means
-    out-of-window positions simply produce zeros (they are masked invalid
-    anyway), so the kernel is safe for any scale; positions are only
-    *in*-window (i.e. results match the gather lerp) for scale <= max_scale
-    — the reference's stretch range is [0.25, 4] (main_v2.py:1006).
+    contiguous input window of ~max_scale*block bins.  Selection from the
+    window is decomposed two-level — local = hi*128 + lo — so each output
+    bin costs one 128-wide one-hot row (MXU matmul against the window
+    reshaped [H, 128]) plus an H-wide one-hot mask-sum, O(128 + Wd/128)
+    per bin instead of the O(Wd) single-level banded matrix (which was the
+    grain chain's hot spot: 78 ms of an 85 ms chain at 270x16385).
+    Out-of-window positions produce zeros (no one-hot row matches), so the
+    kernel is safe for any scale; positions are only *in*-window (i.e.
+    results match the gather lerp) for scale <= max_scale — the
+    reference's stretch range is [0.25, 4] (main_v2.py:1006).
 
-    Exactness: each output row has exactly two nonzero products — the same
-    (1-t)*a, t*b as the gather path — so results agree to MXU f32 rounding
-    (~1 ulp)."""
+    Exactness: the two-level product selects exactly one element per level
+    (products with 1.0/0.0, sums over a single nonzero), so a and b are
+    EXACT selections and the final (1-t)*a + t*b matches the gather lerp
+    bit-for-bit."""
     nf = y.shape[-1]
     A = -(-nf // block)
     nf_pad = A * block
-    Wd = int(max_scale * block) + 8
-    ypad = jnp.concatenate([y, jnp.zeros(nf_pad + Wd - nf, y.dtype)])
+    H = -(-(int(max_scale * block) + 8) // 128)
+    Wd = H * 128
+    ypad = jnp.concatenate([y, jnp.zeros(nf_pad + Wd + 128 - nf, y.dtype)])
     scale = jnp.asarray(scale, jnp.float32)
     is_complex = jnp.iscomplexobj(y)
+    lo_iota = jnp.arange(128, dtype=jnp.int32)[None, :]
+    hi_iota = jnp.arange(H, dtype=jnp.int32)[None, :]
+
+    def two_level(x0, oh_lo, oh_hi):
+        # x0: [H, 128] window; exact one-element selection per output bin
+        sel = jnp.dot(oh_lo, x0.T, precision=jax.lax.Precision.HIGHEST)
+        return jnp.sum(oh_hi * sel, axis=1)
 
     def blk(_, a):
         k = (a * block + jnp.arange(block, dtype=jnp.int32)) \
@@ -131,19 +143,25 @@ def _lerp_uniform_affine(y, scale, block: int = 128, max_scale: float = 4.0):
             .astype(jnp.int32) - 2,
             0, nf_pad)
         local = i0.astype(jnp.int32) - win
-        w_idx = jnp.arange(Wd, dtype=jnp.int32)[None, :]
-        W = ((w_idx == local[:, None]).astype(jnp.float32)
-             * (jnp.float32(1.0) - t[:, None])
-             + (w_idx == local[:, None] + 1).astype(jnp.float32)
-             * t[:, None])
-        W = W * valid[:, None].astype(jnp.float32)
-        xw = jax.lax.dynamic_slice(ypad, (win,), (Wd,))
+        hi = local >> 7                       # arithmetic shift: local < 0
+        lo = local - (hi << 7)                # ... still lands in [0, 128)
+        oh_lo = (lo_iota == lo[:, None]).astype(jnp.float32)
+        oh_hi = (hi_iota == hi[:, None]).astype(jnp.float32)
+        # neighbor local+1 = the same one-hots over the 1-shifted window
+        xw = jax.lax.dynamic_slice(ypad, (win,), (Wd + 128,))
+
+        def lerp_part(xw_r):
+            x0 = xw_r[:Wd].reshape(H, 128)
+            x1 = xw_r[1:Wd + 1].reshape(H, 128)
+            va = two_level(x0, oh_lo, oh_hi)
+            vb = two_level(x1, oh_lo, oh_hi)
+            return va * (jnp.float32(1.0) - t) + vb * t
+
         if is_complex:
-            out = (jnp.dot(W, xw.real, precision=jax.lax.Precision.HIGHEST)
-                   + 1j * jnp.dot(W, xw.imag,
-                                  precision=jax.lax.Precision.HIGHEST))
+            out = lerp_part(xw.real) + 1j * lerp_part(xw.imag)
         else:
-            out = jnp.dot(W, xw, precision=jax.lax.Precision.HIGHEST)
+            out = lerp_part(xw)
+        out = out * valid.astype(jnp.float32)
         return None, out
 
     _, blocks = jax.lax.scan(blk, None, jnp.arange(A, dtype=jnp.int32))

@@ -38,6 +38,21 @@ def _time_best(fn, repeats=3, check=None):
     return best
 
 
+def _time_device(fn, K=5):
+    """Amortized per-dispatch seconds for a device-resident computation
+    (compute-only RTF): K back-to-back async dispatches, one queue drain.
+    A single tunnel-attached jit call costs ~26 ms of roundtrip latency
+    that per-call timing would misattribute to compute."""
+    import jax
+    y = fn()
+    jax.block_until_ready(y)            # compile + settle
+    t0 = time.perf_counter()
+    for _ in range(K):
+        y = fn()
+    jax.block_until_ready(y)            # device executes in order
+    return max(1e-9, (time.perf_counter() - t0) / K)
+
+
 def _test_audio(sr, seconds, seed=7):
     rng = np.random.default_rng(seed)
     t = np.arange(int(sr * seconds)) / sr
@@ -76,23 +91,24 @@ def bench_tape(extras):
     out = {}
 
     def run():
-        out["y"] = tape.render_tape(adev, params, frames)
+        # int16 PCM pull: the reference's output format (PCM_16 WAV,
+        # Tape…py:342) at half the d2h bytes
+        prog = tape.build_tape_program(adev, params, frames, with_mod=False)
+        out["y"] = tape.tape_table_render(prog, out_i16=True)[0]
 
     wall = _time_best(run, check=out)
 
-    # compute-only RTF: output stays on device (block_until_ready, no d2h) —
-    # the transfer-bound vs compute-bound split BASELINE.md documents
+    # compute-only RTF: output stays on device (no d2h) — the transfer-
+    # bound vs compute-bound split BASELINE.md documents
     prog = tape.build_tape_program(adev, params, frames, with_mod=False)
-
-    def run_dev():
-        y, _ = tape.tape_table_render(prog, device_out=True)
-        y.block_until_ready()
-
-    extras["rtf_tape_compute"] = round((frames / sr) / _time_best(run_dev), 2)
+    extras["rtf_tape_compute"] = round(
+        (frames / sr)
+        / _time_device(lambda: tape.tape_table_render(
+            prog, device_out=True)[0]), 2)
     return (frames / sr) / wall
 
 
-def bench_scrub():
+def bench_scrub(extras):
     """Config 2: multi-head gestural scrub over a scripted trace."""
     from audio_suite_tpu.models import scrub
 
@@ -106,15 +122,18 @@ def bench_scrub():
                                  (20.0, 4.0, 5.0)],
         base_speed=0.5, jumps=[(15.0, 1000.0)])
     out = {}
+    audio_sec = blocks * scrub.BLOCK_SIZE / sr
 
     def run():
-        out["y"] = scrub.render_scrub(audio, cfg, trace)
+        out["y"] = scrub.render_scrub(audio, cfg, trace, pcm16=True)
 
     wall = _time_best(run, check=out)
-    return (blocks * scrub.BLOCK_SIZE / sr) / wall
+    extras["rtf_scrub_compute"] = round(audio_sec / _time_device(
+        lambda: scrub.render_scrub(audio, cfg, trace, device_out=True)), 2)
+    return audio_sec / wall
 
 
-def bench_microsound():
+def bench_microsound(extras):
     """Config 3: high-rate band-limited transient field, x100 time unfold,
     x4 spectral stretch, IR convolution."""
     from audio_suite_tpu.models import microsound as ms
@@ -134,13 +153,40 @@ def bench_microsound():
     out = {}
 
     def run():
-        out["y"], _ = ms.render(p, ir_audio=ir)
+        out["y"], _ = ms.render(p, ir_audio=ir, pcm16=True)
 
     wall = _time_best(run, repeats=2, check=out)
+
+    # compute-only: the fused single-chunk device call, output on device
+    import jax.numpy as jnp
+    from audio_suite_tpu.ops import pallas_oa, space
+    prog = ms.build_program(p, ir_audio=ir)
+    ec = max(1, min(prog["E"], (1 << 26) // max(1, prog["L"])))
+    chunks, ring_ok = ms._chunk_events(prog, ec)
+    oa = "ring" if (ring_ok and pallas_oa.ring_available()) else "dus"
+    cfg = ms.chain_cfg(p, prog, ec, oa=oa)
+    er = space.er_tap_kernel(int(p.er_taps), float(p.er_max_ms), sr,
+                             int(p.seed))
+    irm = ir[:8192].astype(np.float32)
+    er_comb = np.convolve(er.astype(np.float64),
+                          irm.astype(np.float64)).astype(np.float32)
+    fx = ms.FxCfg(out_n=prog["out_n"], sr=sr,
+                  env=(float(p.env_a), float(p.env_d), float(p.env_s),
+                       float(p.env_r), float(p.env_curve)),
+                  er_on=True, ir_on=True, stereo_on=True,
+                  stereo_width=float(p.stereo_width),
+                  sat_drive=float(p.sat_drive), peak=float(p.peak))
+    fused = ms._fused_fn(cfg, fx)
+    out0 = np.zeros(pallas_oa.ring_out_len(prog["out_n"], prog["L"]),
+                    np.float32)
+    c0 = {k: jnp.asarray(v) for k, v in chunks[0].items()}
+    extras["rtf_microsound_compute"] = round(seconds / _time_device(
+        lambda: fused(c0, None, jnp.asarray(out0), er_comb, irm)[2]), 2)
+    extras["microsound_oa"] = oa
     return seconds / wall
 
 
-def bench_patternlab():
+def bench_patternlab(extras):
     """Config 4: batch render of algorithmic patterns through the vmapped
     FM+PSG voice bank."""
     from audio_suite_tpu.models import patternlab as pl
@@ -157,10 +203,13 @@ def bench_patternlab():
         out["y"], _ = pl.render(events, cfg)
 
     wall = _time_best(run, repeats=2, check=out)
+    if hasattr(pl, "render_device"):
+        extras["rtf_patternlab_compute"] = round(cfg.seconds / _time_device(
+            lambda: pl.render_device(events, cfg)), 2)
     return cfg.seconds / wall
 
 
-def bench_grid_forestfire():
+def bench_grid_forestfire(extras):
     """Config 5: multi-track grid mixdown + Forest Fire CA emitting
     OSC-style threshold event streams.  RTF counts the mixdown audio; the CA
     must sustain >= its 30 Hz reference tick rate on the same wall clock."""
@@ -225,6 +274,8 @@ def bench_grid_forestfire():
         eng.run_stream(ff.stats_rows_to_dicts(stats), rec.send)
 
     wall = _time_best(run, repeats=2, check=out)
+    extras["rtf_grid_compute"] = round(seconds / _time_device(
+        lambda: grid._device_mixdown(n_total, rows, device_out=True)), 2)
     return seconds / wall
 
 

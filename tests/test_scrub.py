@@ -18,7 +18,8 @@ def audio():
 
 
 def run_both(audio, cfg, trace, pos0=0.0):
-    prog = scrub.build_scrub_program(audio, cfg, trace, pos0)
+    prog = scrub.build_scrub_program(audio, cfg, trace, pos0,
+                                     with_inc=True)
     ref = render_scrub_np(prog)
     out = scrub.render_scrub(audio, cfg, trace, pos0)
     return out, ref
@@ -76,7 +77,8 @@ def test_speed_clamp():
                       dropouts=False)
     trace = scrub.constant_trace(4, base_speed=1.0, gesture=1e9)
     audio = np.sin(np.linspace(0, 100, 44100)).astype(np.float32)
-    prog = scrub.build_scrub_program(audio, cfg, trace)
+    prog = scrub.build_scrub_program(audio, cfg, trace,
+                                     with_inc=True)
     max_inc = np.max(np.abs(prog["inc_fix"])) / scrub.fixq.POS_ONE
     assert max_inc <= (scrub.MAX_TAPE_SPEED / 44100) * 1.01
 

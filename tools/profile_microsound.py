@@ -59,10 +59,15 @@ def main():
         lambda: ms.render(p, ir_audio=ir)), 4)
 
     # pieces: build once, then time the fused device call with/without d2h
+    from audio_suite_tpu.ops import pallas_oa
+
     out_n = prog["out_n"]
     ec = max(1, min(prog["E"], (1 << 26) // max(1, prog["L"])))
-    cfg = ms.chain_cfg(p, prog, ec)
-    chunks = ms._chunk_events(prog, ec)
+    chunks, ring_ok = ms._chunk_events(prog, ec)
+    oa = "ring" if (ring_ok and pallas_oa.ring_available()) else "dus"
+    cfg = ms.chain_cfg(p, prog, ec, oa=oa)
+    res["oa"] = oa
+    oa_len = pallas_oa.ring_out_len(out_n, prog["L"])
     er_kernel = space.er_tap_kernel(int(p.er_taps), float(p.er_max_ms),
                                     int(p.base_sr), int(p.seed))
     irm = ir[:8192].astype(np.float32)
@@ -75,7 +80,7 @@ def main():
                   stereo_width=float(p.stereo_width),
                   sat_drive=float(p.sat_drive), peak=float(p.peak))
     fused = ms._fused_fn(cfg, fx)
-    out0 = np.zeros(out_n + 1, np.float32)
+    out0 = np.zeros(oa_len, np.float32)
 
     def dev_only():
         _, _, st = fused(chunks[0], None, out0, er_comb, irm)
@@ -93,7 +98,7 @@ def main():
     fn = ms._chunk_fn(cfg)
 
     def chunk_only():
-        _, _, o = fn(chunks[0], None, np.zeros(out_n + 1, np.float32))
+        _, _, o = fn(chunks[0], None, np.zeros(oa_len, np.float32))
         o.block_until_ready()
 
     res["chunk_only_s"] = round(t_best(chunk_only), 4)
@@ -103,7 +108,8 @@ def main():
 
     @jax.jit
     def grains_only_f(evs):
-        return jax.vmap(lambda e: ms._one_grain(e, cfg))(evs)
+        per_ev = {k: v for k, v in evs.items() if not k.startswith("oa_")}
+        return jax.vmap(lambda e: ms._one_grain(e, cfg))(per_ev)
 
     def grains_only():
         g = grains_only_f(chunks[0])

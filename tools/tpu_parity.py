@@ -49,7 +49,7 @@ def main():
     trace = scrub.scripted_gesture_trace(
         40, sr, drag_events=[(0.2, 5.0, 0.3)], base_speed=0.5,
         jumps=[(0.5, 9000.0)])
-    sprog = scrub.build_scrub_program(audio, cfg, trace)
+    sprog = scrub.build_scrub_program(audio, cfg, trace, with_inc=True)
     report("scrub (3 heads/jump)",
            max_dev_dbfs(scrub.render_scrub(audio, cfg, trace),
                         render_scrub_np(sprog)), -120.0)
