@@ -14,9 +14,11 @@ Cross-backend float hazards and how each is closed:
   and ``lax.optimization_barrier`` does NOT stop it.  Defense: every float
   product in this module is EXACT (Veltkamp 12-bit split squares; exact
   power-of-two scales), so contraction cannot change the value.
-- **Association order**: the cumsum is a Hillis-Steele doubling scan —
-  explicit shift+add levels, the same DAG on both backends (XLA does not
-  reassociate float adds).
+- **Association order**: box sums are assembled from doubling level
+  arrays (S_k[j] = sum of 2**k consecutive squares) by explicit shifted
+  adds — the same DAG on both backends (XLA does not reassociate float
+  adds), and every access is a STATIC shift, never a gather (TPU element
+  gathers cost ~50 ns each).
 - **div / sqrt rounding**: XLA:TPU pins down neither.  Defense: the
   normalize->sqrt->speed stage is pure int32 arithmetic (integer division
   is exact by definition; integer sqrt = f32 estimate + +-1 correction,
@@ -74,69 +76,49 @@ def exact_sq_np(x):
 
 
 # ---------------------------------------------------------------------------
-# Hillis-Steele f32 cumsum (same association order on both backends)
+# Box sums — binary decomposition over a zero-padded signal (shift-only)
 # ---------------------------------------------------------------------------
 
-def hs_cumsum_f32(x):
-    """Inclusive f32 cumsum via shift-doubling.  log2(n) vector adds, each
-    IEEE f32 — the NumPy twin performs the identical sequence, so results
-    are bit-equal (unlike np.cumsum's sequential order vs any parallel
-    scan)."""
-    x = jnp.asarray(x, jnp.float32)
-    n = x.shape[0]
-    shift = 1
-    while shift < n:
-        x = x + jnp.pad(x, (shift, 0))[:n]
-        shift *= 2
-    return x
+def _box_sums_direct(x2, n, win, np_mod):
+    """Box sums of the reference's clipped 'same' window: s[i] =
+    sum x2[i - win//2 .. i + (win-1)//2] (out-of-range terms are zero —
+    identical to np.convolve 'same' zero-padding, grid_audio_app.py:140).
 
+    Zero-padding makes every window exactly `win` long, so the binary
+    decomposition of the window length is CONSTANT across i: level arrays
+    S_k[j] = sum P[j : j + 2**k] built by shifted adds, each window
+    assembled from the set bits of win at static offsets.  Every access is
+    a static shift — no gathers (a per-element `level[idx]` gather costs
+    ~50 ns/element on TPU; the round-1 form spent ~0.5 s per modded track
+    in the grid mixdown kernel).  Zero prefix differences: the error stays
+    RELATIVE to the box sum (a prefix-difference scheme turns accumulated
+    magnitude into absolute error, which the sqrt amplifies near zero).
 
-def hs_cumsum_f32_np(x):
-    x = np.asarray(x, np.float32).copy()
-    n = x.shape[0]
-    shift = 1
-    while shift < n:
-        x[shift:] = x[shift:] + x[:-shift]
-        shift *= 2
-    return x
-
-
-def _hs_rows(x):
-    """Inclusive HS cumsum along axis 1 of [K, B] (jnp)."""
-    b = x.shape[1]
-    shift = 1
-    while shift < b:
-        x = x + jnp.pad(x, ((0, 0), (shift, 0)))[:, :b]
-        shift *= 2
-    return x
-
-
-def _hs_rows_np(x):
-    x = np.asarray(x, np.float32).copy()
-    b = x.shape[1]
-    shift = 1
-    while shift < b:
-        x[:, shift:] = x[:, shift:] + x[:, :-shift]
-        shift *= 2
-    return x
-
-
-def _blocked_prefixes(x2, n):
-    """(cl [K, B+1], cb [K+1]) blocked prefix tables for box sums (jnp)."""
-    k = -(-n // _BOX_BLOCK)
-    xb = jnp.pad(x2, (0, k * _BOX_BLOCK - n)).reshape(k, _BOX_BLOCK)
-    cl = jnp.pad(_hs_rows(xb), ((0, 0), (1, 0)))
-    cb = jnp.pad(hs_cumsum_f32(cl[:, _BOX_BLOCK]), (1, 0))
-    return cl, cb
-
-
-def _blocked_prefixes_np(x2, n):
-    k = -(-n // _BOX_BLOCK)
-    xb = np.pad(np.asarray(x2, np.float32),
-                (0, k * _BOX_BLOCK - n)).reshape(k, _BOX_BLOCK)
-    cl = np.pad(_hs_rows_np(xb), ((0, 0), (1, 0)))
-    cb = np.pad(hs_cumsum_f32_np(cl[:, _BOX_BLOCK]), (1, 0))
-    return cl, cb
+    Both twins perform the identical shift/add DAG in the identical order,
+    so results are bit-equal (adding exact zeros is exact: x2 >= 0)."""
+    levels = max(1, int(win).bit_length())
+    lead = win // 2
+    # slack: at level k the array has shrunk by 2**k - 1 and the term
+    # offset can reach 2**k - 1, so 2*win of tail zeros keeps every
+    # static slice in range
+    m = lead + n + 2 * win + 2
+    P = np_mod.pad(np_mod.asarray(x2, np.float32), (lead, m - lead - n))
+    s = np_mod.zeros(n, np.float32)
+    S = P
+    off = 0
+    for k in range(levels):
+        if (win >> k) & 1:
+            term = S[off:off + n]
+            s = (s + term).astype(np.float32) if np_mod is np else s + term
+        off += ((win >> k) & 1) << k
+        if k + 1 < levels:
+            sh = 1 << k
+            nxt = S[sh:]
+            if np_mod is np:
+                S = np.float32(S[:-sh] + nxt) if sh < len(S) else S
+            else:
+                S = S[:-sh] + nxt
+    return s
 
 
 # ---------------------------------------------------------------------------
@@ -163,89 +145,6 @@ def isqrt30_np(uq):
     return y
 
 
-# ---------------------------------------------------------------------------
-# Envelope -> speed (the full twin)
-# ---------------------------------------------------------------------------
-
-def _box_edges(n, win):
-    """moving_average's clipped 'same' window (grid.py / np.convolve):
-    output i sums x[i - win//2 .. i + (win-1)//2]."""
-    i = np.arange(n)
-    lo = np.clip(i - win // 2, 0, n)
-    hi = np.clip(i + (win - 1) // 2 + 1, 0, n)
-    return lo.astype(np.int32), hi.astype(np.int32)
-
-
-_BOX_BLOCK = 256
-_BOX_DIRECT_MAX = 8192     # windows below this use the binary decomposition
-
-
-def _box_index_tables(n, win):
-    """Host-precomputed gather tables for the blocked box sums."""
-    lo, hi = _box_edges(n, win)
-    b_lo = lo // _BOX_BLOCK
-    lo_off = lo - b_lo * _BOX_BLOCK
-    b_hi = (hi - 1) // _BOX_BLOCK
-    hi_off = hi - b_hi * _BOX_BLOCK
-    return b_lo, lo_off, b_hi, hi_off
-
-
-def _box_sums(cl, cb, tables):
-    """Box sums from blocked prefix tables (jnp and np twin via the same
-    code: both index ndarrays elementwise-identically).
-
-    A single global f32 cumsum would compute each box as the difference of
-    two huge prefixes — catastrophic cancellation turns total*2**-23 into
-    the box's ABSOLUTE error, which the sqrt then amplifies near zero.
-    Blocked sums keep every difference within one block (error ~ one block's
-    magnitude) and make the mid term an exact sum of full-block totals:
-    tail(lo's block) + mid(whole blocks) + head(hi's block), each term
-    non-negative, added in one pinned order."""
-    b_lo, lo_off, b_hi, hi_off = tables
-    tail = cl[b_lo, _BOX_BLOCK] - cl[b_lo, lo_off]
-    head = cl[b_hi, hi_off]
-    mid = cb[b_hi] - cb[b_lo + 1]
-    s_span = (tail + mid) + head
-    s_same = cl[b_lo, hi_off] - cl[b_lo, lo_off]
-    return jnp.where(b_hi == b_lo, s_same, s_span) \
-        if isinstance(cl, jnp.ndarray) else \
-        np.where(b_hi == b_lo, s_same, s_span).astype(np.float32)
-
-
-def _box_sums_direct(x2, n, win, np_mod):
-    """Box sums by binary decomposition of each (edge-clipped) window
-    length: level arrays S_k[i] = sum x2[i:i+2**k] built by shifted adds,
-    each window then assembled from the set bits of its length.  Zero
-    prefix differences -> the error stays RELATIVE to the box sum (a
-    prefix-difference scheme turns accumulated magnitude into absolute
-    error, which the sqrt amplifies near zero).  Used for win <
-    _BOX_DIRECT_MAX; memory is bit_length(win) level arrays."""
-    lo, hi = _box_edges(n, win)
-    w = (hi - lo).astype(np.int32)
-    levels = int(win).bit_length()
-    s = np_mod.zeros(n, np.float32)
-    pos = lo.copy()
-    level = np_mod.pad(x2, (0, 1 << levels))
-    bit_mask = []
-    for k in range(levels):
-        bit = ((w >> k) & 1).astype(bool)
-        idx = np.where(bit, pos, 0)              # host indices both paths
-        pos = pos + np.where(bit, np.int32(1 << k), np.int32(0))
-        bit_mask.append((bit, idx))
-    for k, (bit, idx) in enumerate(bit_mask):
-        term = np_mod.where(bit, level[idx], np.float32(0.0))
-        s = (s + term).astype(np.float32) if np_mod is np else s + term
-        if k + 1 < levels:
-            sh = 1 << k
-            if np_mod is np:
-                nxt = level.copy()
-                nxt[:-sh] = np.float32(nxt[:-sh] + level[sh:])
-                level = nxt
-            else:
-                level = level + jnp.pad(level[sh:], (0, sh))
-    return s
-
-
 def amount_q12(amount: float) -> int:
     """Mod amount quantized to 2**-12 (static per track; documented
     framework semantics for the user-facing parameter)."""
@@ -262,7 +161,7 @@ def _exp_scale_bits(smax_bits):
 def mod_speed_fix(placed, win: int, a_q12: int):
     """Device twin: placed f32 [n] -> int32 speed in 2**-22 units, [0.25,4].
 
-    Chain: box-sum of exact x**2 (HS cumsum + edge diffs; the /win of a
+    Chain: box-sum of exact x**2 (shift-only binary decomposition; the /win of a
     true moving average cancels in the normalization), exponent-normalize
     so smax lands in [2**29, 2**30), two-stage integer division for a
     30-bit u = s/smax, 15-bit integer sqrt, speed = 1 + a*env saturated in
@@ -271,11 +170,7 @@ def mod_speed_fix(placed, win: int, a_q12: int):
     n = placed.shape[0]
     win = max(1, min(int(win), n))
     x2 = exact_sq(placed)
-    if win < _BOX_DIRECT_MAX:
-        s = _box_sums_direct(x2, n, win, jnp)
-    else:
-        cl, cb = _blocked_prefixes(x2, n)
-        s = _box_sums(cl, cb, _box_index_tables(n, win))
+    s = _box_sums_direct(x2, n, win, jnp)
     s = jnp.maximum(s, 0.0)                       # cancellation guard
     smax = jnp.maximum(jnp.max(s), jnp.float32(2.0 ** -40))
     sb = jax.lax.bitcast_convert_type(smax, jnp.int32)
@@ -305,11 +200,7 @@ def mod_speed_fix_np(placed, win: int, a_q12: int):
     n = placed.shape[0]
     win = max(1, min(int(win), n))
     x2 = exact_sq_np(placed)
-    if win < _BOX_DIRECT_MAX:
-        s = _box_sums_direct(x2, n, win, np)
-    else:
-        cl, cb = _blocked_prefixes_np(x2, n)
-        s = _box_sums(cl, cb, _box_index_tables(n, win))
+    s = _box_sums_direct(x2, n, win, np)
     s = np.maximum(s, np.float32(0.0))
     smax = np.maximum(np.max(s) if n else np.float32(0.0),
                       np.float32(2.0 ** -40))
@@ -349,9 +240,5 @@ def speed_is_active_np(placed, win: int) -> bool:
         return False
     win = max(1, min(int(win), n))
     x2 = exact_sq_np(placed)
-    if win < _BOX_DIRECT_MAX:
-        s = _box_sums_direct(x2, n, win, np)
-    else:
-        cl, cb = _blocked_prefixes_np(x2, n)
-        s = _box_sums(cl, cb, _box_index_tables(n, win))
+    s = _box_sums_direct(x2, n, win, np)
     return bool(np.max(s) > np.float32(1e-24))
