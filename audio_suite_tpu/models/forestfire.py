@@ -45,6 +45,7 @@ _S_RAIN, _S_SPREAD, _S_LIGHT, _S_EMIT, _S_DIST, _S_IGNITE, _S_GROW_E, \
     _S_GROW_A, _S_FUEL_E, _S_FUEL_A = range(10)
 _S_JX, _S_JY = 10, 11
 _NRM_OFFSET = 1 << 20
+EMBER_CAP = 1024    # max emitting cells whose embers land per step
 
 
 @dataclass(unsafe_hash=True)
@@ -263,7 +264,16 @@ def step_device(carry, step_idx, params: ModelParams, seed: int,
                          < jnp.float32(p.lightning_rate) * moist_term)
     ignitions = will_spread | lightning
 
-    # ember spotting: every cell computes its landing; non-emitters masked
+    # ember spotting: every cell computes its landing; non-emitters masked.
+    # Ignition is evaluated at the LANDING cell from its own fields and its
+    # own rng draw (destination-draw) — the arrival scatter is the only
+    # per-index op; a source-side evaluation needs a 35k-element gather of
+    # (moisture, fuel, state) at the landings (~86 ms per 480 steps on
+    # v5e).  Semantics vs the reference (model.py:176-196, per-ember
+    # Bernoulli at the landing): identical unless >=2 embers land on one
+    # cell in one step, where one shared draw replaces independent draws —
+    # a statistically negligible, documented framework choice (reference
+    # parity is statistical anyway: different RNG).
     emit = fire & (u(_S_EMIT) < jnp.float32(p.ember_rate))
     d = (jnp.float32(3.0)
          + jnp.floor(u(_S_DIST)
@@ -278,24 +288,26 @@ def step_device(carry, step_idx, params: ModelParams, seed: int,
     yy = jnp.mod(yi + dy, H)
     xx = jnp.mod(xi + dx, W)
     lin = yy * W + xx
-    # one packed gather instead of three (TPU gathers cost per index, not
-    # per byte; values are identical so the oracle needs no mirror)
-    packed = jnp.stack([moisture.reshape(-1), fuel.reshape(-1),
-                        (state == TREE).reshape(-1).astype(jnp.float32)],
-                       axis=-1)
-    landed = packed[lin.reshape(-1)].reshape(H, W, 3)
-    land_moist = landed[..., 0]
-    land_fuel = landed[..., 1]
+    # emitters are sparse (ember_rate * fire cells); a dense 35k-index
+    # scatter costs ~7 ns/index on v5e (~250 us/step).  Compact emitters
+    # to EMBER_CAP slots via top_k over their linear indices (largest
+    # first; deterministic, mirrored by the oracle) and scatter only
+    # those.  The cap binds only if >EMBER_CAP cells emit in one step —
+    # >83% of the grid simultaneously burning at default params.
+    key = jnp.where(emit.reshape(-1),
+                    jnp.arange(H * W, dtype=jnp.int32), -1)
+    sel, _ = jax.lax.top_k(key, min(EMBER_CAP, H * W))
+    ok_sel = sel >= 0
+    land = lin.reshape(-1)[jnp.clip(sel, 0, H * W - 1)]
+    arrivals = jnp.zeros(H * W, jnp.int32).at[land].add(
+        ok_sel.astype(jnp.int32))
+    arrived = (arrivals > 0).reshape(H, W)
     p_ember = jnp.clip(
         jnp.float32(p.spotting_strength)
-        * (jnp.float32(1.0) - land_moist)
-        * (jnp.float32(0.25) + jnp.float32(qc["c075"]) * q12(land_fuel)),
+        * (jnp.float32(1.0) - moisture)
+        * (jnp.float32(0.25) + jnp.float32(qc["c075"]) * q12(fuel)),
         0.0, 0.95)
-    land_tree = landed[..., 2] > 0.5
-    ok = emit & land_tree & (u(_S_IGNITE) < p_ember)
-    ember_hits = jnp.zeros(H * W, jnp.int32).at[lin.reshape(-1)].add(
-        ok.reshape(-1).astype(jnp.int32))
-    ember_ignitions = (ember_hits > 0).reshape(H, W)
+    ember_ignitions = arrived & trees & (u(_S_IGNITE) < p_ember)
 
     ignitions = ignitions | ember_ignitions
     n_ignitions = jnp.sum(ignitions.astype(jnp.int32))
@@ -387,7 +399,9 @@ class ForestFireModel:
         fn = _sim_fn(self.params.static_key(), self.seed, int(n_steps),
                      self.params)
         carry, stats = fn(self._carry())
-        self._np = {k: np.asarray(v) for k, v in carry.items()}
+        # np.array (copy): np.asarray of a device buffer is a READ-ONLY
+        # view, which breaks later brush edits on the host mirror
+        self._np = {k: np.array(v) for k, v in carry.items()}
         stats = np.asarray(stats)
         if len(stats):
             self._last = stats[-1].astype(np.int64)

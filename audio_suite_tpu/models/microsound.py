@@ -437,6 +437,8 @@ class ChainCfg:
     out_n: int
     ec: int                      # events per chunk
     oa: str                      # overlap-add strategy: "ring" | "dus"
+    shared_stretch: bool         # all events share one stretch factor AND
+    #                              the chain is generate->fused lp+stretch
     micro_ms: float
     noise_tilt: float
     ring_hz: float
@@ -478,9 +480,15 @@ def chain_cfg(params: MicrosoundParams, prog: dict, ec: int,
                  (float(p.mb_b2), float(p.mb_b3)))
         unfolds = (float(p.mb_u1), float(p.mb_u2), float(p.mb_u3))
         mb = (bands, unfolds, float(p.mb_roll))
+    fuse = (bool(p.bandlimit_on) and not p.nl_warp_on and not p.cep_warp_on
+            and not p.partial_lock_on)
+    shared = (fuse and not p.res_bank_on and not p.wg_on and not mb
+              and "stretch" in prog
+              and bool(np.all(prog["stretch"] == prog["stretch"][0])))
     return ChainCfg(
         mode_id=GEN_MODES.index(p.gen_mode),
         L=int(prog["L"]), out_n=int(prog["out_n"]), ec=int(ec), oa=oa,
+        shared_stretch=shared,
         micro_ms=float(p.micro_ms), noise_tilt=float(p.noise_tilt),
         ring_hz=float(p.ring_hz), ring_decay_ms=float(p.ring_decay_ms),
         ss=(float(p.ss_threshold), float(p.ss_build), float(p.ss_decay),
@@ -662,7 +670,18 @@ def chunk_body(cfg: ChainCfg):
     def run(evs, carry, out):
         # oa_* entries are chunk-level control arrays, not per-event fields
         per_ev = {k: v for k, v in evs.items() if not k.startswith("oa_")}
-        grains = jax.vmap(lambda e: _one_grain(e, cfg))(per_ev)
+        if cfg.shared_stretch:
+            # generate->fused lowpass+stretch with ONE shared stretch
+            # factor: hoist the spectral pass out of the vmap so the lerp
+            # one-hots are built once per block instead of once per event
+            raw = jax.vmap(lambda e: _generate(e, cfg))(per_ev)
+            x = spectral.lowpass_stretch_fused_shared(
+                raw, per_ev["gen_sr"], per_ev["cutoff_gen"],
+                per_ev["stretch"][0], roll=cfg.bandlimit_roll)
+            j2 = jnp.arange(cfg.L, dtype=jnp.int32)[None, :]
+            grains = jnp.where(j2 < per_ev["n"][:, None], x, 0.0)
+        else:
+            grains = jax.vmap(lambda e: _one_grain(e, cfg))(per_ev)
         if cfg.fb_on or cfg.imprint_on:
             carry, grains = _fb_imprint_scan(grains, evs["n"], carry, cfg)
         # out[L + start + i] += amp * grain[offset + i]: window e lands at

@@ -180,6 +180,22 @@ def fft_warp_power(x, power):
     return jnp.fft.irfft(Y, n=L).astype(jnp.float32)
 
 
+def _lowpass_gain(L, sr, cutoff, roll):
+    """The lowpass_fft gain curve [nf] for scalar (sr, cutoff, roll) —
+    factored so the vmapped and batch-shared stretch paths use the
+    identical arithmetic (main_v2.py:39-59 band shape)."""
+    nyq = 0.5 * jnp.asarray(sr, jnp.float32)
+    cutoff = jnp.clip(jnp.asarray(cutoff, jnp.float32), 1.0, nyq)
+    roll = jnp.maximum(jnp.asarray(roll, jnp.float32), 0.0)
+    f = _freqs(L, sr)
+    f1 = jnp.minimum(nyq, cutoff + roll)
+    t = (f - cutoff) / jnp.maximum(1e-12, f1 - cutoff)
+    w_roll = 0.5 * (1.0 + jnp.cos(jnp.pi * jnp.clip(t, 0.0, 1.0)))
+    gain_rolloff = jnp.where(f > f1, 0.0, jnp.where(f >= cutoff, w_roll, 1.0))
+    gain_hard = jnp.where(f > cutoff, 0.0, 1.0)
+    return jnp.where(roll <= 0, gain_hard, gain_rolloff)
+
+
 def lowpass_stretch_fused(x, sr, cutoff, factor, roll=0.0):
     """lowpass_fft followed by fft_partial_stretch in ONE spectral pass
     (2 transforms instead of 4): the irfft/rfft round-trip between them is
@@ -187,21 +203,78 @@ def lowpass_stretch_fused(x, sr, cutoff, factor, roll=0.0):
     within ~1 ulp (the oracle keeps the sequential structure; parity budget
     is -60 dBFS)."""
     L = x.shape[-1]
-    nyq = 0.5 * jnp.asarray(sr, jnp.float32)
-    cutoff = jnp.clip(jnp.asarray(cutoff, jnp.float32), 1.0, nyq)
-    roll = jnp.maximum(jnp.asarray(roll, jnp.float32), 0.0)
     X = jnp.fft.rfft(x)
-    f = _freqs(L, sr)
-    f1 = jnp.minimum(nyq, cutoff + roll)
-    t = (f - cutoff) / jnp.maximum(1e-12, f1 - cutoff)
-    w_roll = 0.5 * (1.0 + jnp.cos(jnp.pi * jnp.clip(t, 0.0, 1.0)))
-    gain_rolloff = jnp.where(f > f1, 0.0, jnp.where(f >= cutoff, w_roll, 1.0))
-    gain_hard = jnp.where(f > cutoff, 0.0, 1.0)
-    Xg = X * jnp.where(roll <= 0, gain_hard, gain_rolloff)
+    Xg = X * _lowpass_gain(L, sr, cutoff, roll)
 
     factor = jnp.asarray(factor, jnp.float32)
     inv_f = jnp.float32(1.0) / jnp.maximum(1e-12, factor)
     Y = _lerp_uniform_affine(Xg, inv_f)
+    Z = jnp.where(jnp.abs(factor - 1.0) < 1e-9, Xg, Y)
+    return jnp.fft.irfft(Z, n=L).astype(jnp.float32)
+
+
+def lowpass_stretch_fused_shared(x, sr_v, cutoff_v, factor, roll=0.0,
+                                 block: int = 128, max_scale: float = 4.0):
+    """Batched lowpass_stretch_fused for a grain bank [E, L] whose stretch
+    factor is SHARED across events (per-event cutoff/sr still vary).
+
+    Under vmap the per-event traced scale makes XLA rebuild the selection
+    one-hots for every event — E x nf x (128+H) element ops that dominated
+    the grain chain.  With one shared scale the one-hots are built once per
+    block and every event rides the same MXU matmuls."""
+    E, L = x.shape
+    X = jnp.fft.rfft(x)
+    nf = X.shape[-1]
+    gains = jax.vmap(lambda s, c: _lowpass_gain(L, s, c, roll))(
+        jnp.asarray(sr_v, jnp.float32), jnp.asarray(cutoff_v, jnp.float32))
+    Xg = X * gains
+
+    factor = jnp.asarray(factor, jnp.float32)
+    scale = jnp.float32(1.0) / jnp.maximum(1e-12, factor)
+    A = -(-nf // block)
+    nf_pad = A * block
+    H = -(-(int(max_scale * block) + 8) // 128)
+    Wd = H * 128
+    Xpad = jnp.concatenate(
+        [Xg, jnp.zeros((E, nf_pad + Wd + 128 - nf), Xg.dtype)], axis=-1)
+    lo_iota = jnp.arange(128, dtype=jnp.int32)[None, :]
+    hi_iota = jnp.arange(H, dtype=jnp.int32)[None, :]
+
+    def blk(_, a):
+        k = (a * block + jnp.arange(block, dtype=jnp.int32)) \
+            .astype(jnp.float32)
+        pos = k * scale
+        valid = (pos >= 0.0) & (pos <= jnp.float32(nf - 1))
+        i0 = jnp.clip(jnp.floor(pos), 0.0, jnp.float32(nf - 2))
+        t = pos - i0
+        win = jnp.clip(
+            jnp.floor(a.astype(jnp.float32) * jnp.float32(block) * scale)
+            .astype(jnp.int32) - 2,
+            0, nf_pad)
+        local = i0.astype(jnp.int32) - win
+        hi = local >> 7
+        lo = local - (hi << 7)
+        oh_lo = (lo_iota == lo[:, None]).astype(jnp.float32)
+        oh_hi = (hi_iota == hi[:, None]).astype(jnp.float32)
+        xw = jax.lax.dynamic_slice(Xpad, (0, win), (E, Wd + 128))
+
+        def sel(x2d):
+            # [E, H, 128] -> exact per-bin selection shared across events
+            s = jnp.einsum("bl,ehl->ebh", oh_lo, x2d,
+                           precision=jax.lax.Precision.HIGHEST)
+            return jnp.sum(oh_hi[None] * s, axis=-1)
+
+        def lerp_part(xw_r):
+            x0 = xw_r[:, :Wd].reshape(E, H, 128)
+            x1 = xw_r[:, 1:Wd + 1].reshape(E, H, 128)
+            return sel(x0) * (jnp.float32(1.0) - t)[None] + sel(x1) * t[None]
+
+        out = lerp_part(xw.real) + 1j * lerp_part(xw.imag)
+        return None, out * valid[None].astype(jnp.float32)
+
+    _, blocks = jax.lax.scan(blk, None, jnp.arange(A, dtype=jnp.int32))
+    # blocks: [A, E, block] -> [E, nf]
+    Y = jnp.moveaxis(blocks, 0, 1).reshape(E, nf_pad)[:, :nf]
     Z = jnp.where(jnp.abs(factor - 1.0) < 1e-9, Xg, Y)
     return jnp.fft.irfft(Z, n=L).astype(jnp.float32)
 

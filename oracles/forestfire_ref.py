@@ -16,7 +16,7 @@ from audio_suite_tpu.ops import noise
 from audio_suite_tpu.models.forestfire import (
     _NRM_OFFSET, _SITES, _S_DIST, _S_EMIT, _S_FUEL_A, _S_FUEL_E, _S_GROW_A,
     _S_GROW_E, _S_IGNITE, _S_JX, _S_JY, _S_LIGHT, _S_RAIN, _S_SPREAD,
-    ASH, EMPTY, FIRE, TREE, quantized_consts)
+    ASH, EMBER_CAP, EMPTY, FIRE, TREE, quantized_consts)
 from audio_suite_tpu.ops.fixq import round_sig12_np as q12
 
 
@@ -98,6 +98,8 @@ def step_np(carry: dict, step_idx: int, params, seed: int):
                          < np.float32(p.lightning_rate) * moist_term)
     ignitions = will_spread | lightning
 
+    # destination-draw ember ignition (mirrors models/forestfire.py: the
+    # landing cell evaluates p from its own fields with its own rng draw)
     emit = fire & (u(_S_EMIT) < np.float32(p.ember_rate))
     d = (np.float32(3.0)
          + np.floor(u(_S_DIST) * np.float32(p.ember_max_dist + 1 - 3)))
@@ -111,17 +113,19 @@ def step_np(carry: dict, step_idx: int, params, seed: int):
     yy = np.mod(yi + dy, H)
     xx = np.mod(xi + dx, W)
     lin = yy * W + xx
-    land_moist = moisture.reshape(-1)[lin]
-    land_fuel = fuel.reshape(-1)[lin]
+    # emitter compaction mirror: the device keeps the EMBER_CAP largest
+    # emitter linear indices (lax.top_k over where(emit, iota, -1))
+    emit_idx = np.nonzero(emit.reshape(-1))[0]
+    cap = min(EMBER_CAP, H * W)
+    sel = emit_idx[-cap:] if len(emit_idx) > cap else emit_idx
+    arrivals = np.zeros(H * W, np.int32)
+    np.add.at(arrivals, lin.reshape(-1)[sel], 1)
+    arrived = (arrivals > 0).reshape(H, W)
     p_ember = np.clip(
-        np.float32(p.spotting_strength) * (np.float32(1.0) - land_moist)
-        * (np.float32(0.25) + np.float32(qc["c075"]) * q12(land_fuel)),
+        np.float32(p.spotting_strength) * (np.float32(1.0) - moisture)
+        * (np.float32(0.25) + np.float32(qc["c075"]) * q12(fuel)),
         np.float32(0), np.float32(0.95))
-    land_tree = state.reshape(-1)[lin] == TREE
-    ok = emit & land_tree & (u(_S_IGNITE) < p_ember)
-    hits = np.zeros(H * W, np.int32)
-    np.add.at(hits, lin.reshape(-1), ok.reshape(-1).astype(np.int32))
-    ember_ignitions = (hits > 0).reshape(H, W)
+    ember_ignitions = arrived & trees & (u(_S_IGNITE) < p_ember)
 
     ignitions = ignitions | ember_ignitions
     n_ignitions = int(ignitions.sum())

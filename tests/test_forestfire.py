@@ -209,3 +209,17 @@ def test_ca_to_osc_event_stream():
     model2.ignite_at(32, 24, radius=5)
     stats2 = model2.simulate(60)
     assert np.array_equal(stats, stats2)
+
+
+def test_brush_edits_after_simulate():
+    """The host state mirror must stay writable after device steps
+    (np.asarray of a device buffer is a read-only view)."""
+    from audio_suite_tpu.models import forestfire as ff
+
+    model = ff.ForestFireModel(ff.ModelParams(w=32, h=24), seed=3)
+    model.simulate(4)
+    model.set_tree_at(5, 5, radius=2)
+    model.ignite_at(6, 6, radius=1)
+    model.clear_at(1, 1, radius=1)
+    stats = model.simulate(3)
+    assert stats.shape == (3, 8)
