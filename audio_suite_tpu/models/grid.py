@@ -464,6 +464,7 @@ class _MixMeta:
     n_total: int
     n_pad: int
     tracks: tuple
+    pcm16: bool = False
 
 
 def _track_positions(i, inc, reset_mask, tm: _TrackMeta, n_total: int):
@@ -538,7 +539,13 @@ def _mix_body(meta: _MixMeta):
             if ti in mod_srcs:
                 placed_cache[ti] = placed
             mix = mix + placed                 # pinned track order
-        return jnp.clip(mix, -1.0, 1.0)[: meta.n_total]
+        mix = jnp.clip(mix, -1.0, 1.0)[: meta.n_total]
+        if meta.pcm16:
+            # PCM16 device conversion (the reference exports PCM_16 WAVs:
+            # soundfile's WAV default subtype) at half the d2h bytes
+            return jnp.clip(jnp.round(mix * 32768.0), -32768.0, 32767.0) \
+                .astype(jnp.int16)
+        return mix
 
     return run
 
@@ -624,7 +631,8 @@ def _host_mixdown(n_total: int, rows: list, return_tracks: bool):
     return (mix, placed_tracks) if return_tracks else (mix, None)
 
 
-def _device_mixdown(n_total: int, rows: list, device_out: bool = False):
+def _device_mixdown(n_total: int, rows: list, device_out: bool = False,
+                    pcm16: bool = False):
     """Device engine: flat pattern bank + reset tables -> one jit call."""
     n_pad = -(-max(1, n_total) // MIX_PAD) * MIX_PAD
     bases, flat, metas = [], [], []
@@ -652,7 +660,8 @@ def _device_mixdown(n_total: int, rows: list, device_out: bool = False):
             start_idx=row["start_idx"], loop=row["loop"],
             mod_src=row["mod_src"], win=row["win"], a_q12=row["a_q12"],
             gain=row["gain"]))
-    meta = _MixMeta(n_total=n_total, n_pad=n_pad, tracks=tuple(metas))
+    meta = _MixMeta(n_total=n_total, n_pad=n_pad, tracks=tuple(metas),
+                    pcm16=pcm16)
     y = _mix_fn(meta)(flat_pat, resets)
     return y if device_out else np.asarray(y)
 

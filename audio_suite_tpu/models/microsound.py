@@ -812,17 +812,19 @@ def _fx_fn(cfg: FxCfg):
 @functools.lru_cache(maxsize=32)
 def _fused_fn(cfg: ChainCfg, fx: FxCfg):
     """Single-chunk fast path: grain chunk + global FX as ONE jit dispatch
-    (a jit-call roundtrip costs ~26 ms on tunnel-attached TPUs)."""
+    (a jit-call roundtrip costs ~26 ms on tunnel-attached TPUs).  The OA
+    buffer is created on device (shipping 3+ MB of host zeros per render
+    costs ~17 ms of h2d)."""
     chunk = chunk_body(cfg)
     fxr = fx_body(fx)
+    oa_len = pallas_oa.ring_out_len(cfg.out_n, cfg.L)
 
-    def run(evs, carry, out, er_kernel, ir_kernel):
+    def run(evs, carry, er_kernel, ir_kernel):
+        out = jnp.zeros(oa_len, jnp.float32)
         carry, grain_last, out = chunk(evs, carry, out)
         audio = out[cfg.L: cfg.L + fx.out_n]     # margin layout
         return carry, grain_last, fxr(audio, er_kernel, ir_kernel)
 
-    # no donation: the scatter buffer's shape differs from the stereo
-    # output, so the donated buffer would be unusable (and warn)
     return jax.jit(run)
 
 
@@ -887,8 +889,6 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
         chunks, ring_ok = _chunk_events(prog, event_chunk)
         oa = "ring" if (ring_ok and pallas_oa.ring_available()) else "dus"
         cfg = chain_cfg(p, prog, event_chunk, oa=oa)
-        fn = _chunk_fn(cfg)
-        out = np.zeros(pallas_oa.ring_out_len(out_n, L), np.float32)
         carry = None
         if cfg.fb_on or cfg.imprint_on:
             carry = (np.zeros(L, np.float32), np.int32(0),
@@ -896,18 +896,22 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
                      np.bool_(False))
         if len(chunks) == 1:
             carry, grain_last, stereo = _fused_fn(cfg, fx)(
-                chunks[0], carry, out, er_kernel, ir_kernel)
+                chunks[0], carry, er_kernel, ir_kernel)
             if progress:
                 progress(100, "Done.")
             meta = {
                 "out_sr": int(p.base_sr),
                 "design_sr_base": prog["gen_sr_base"],
+                # device array: pulling it here costs a second tunnel
+                # roundtrip per render; np.asarray on access when needed
+                "grain_last": grain_last,
                 "events": prog["E"],
-                "grain_last": np.asarray(grain_last),
             }
             if want_micro_last:
                 meta["micro_last"] = _micro_last(prog, cfg)
             return np.asarray(stereo), meta
+        fn = _chunk_fn(cfg)
+        out = np.zeros(pallas_oa.ring_out_len(out_n, L), np.float32)
         for ci, ch in enumerate(chunks):
             carry, grain_last, out = fn(ch, carry, out)
             if progress:

@@ -402,7 +402,7 @@ class MegaDriveInspiredSynth:
         self._psg_tab = _psg_channel_tables(self.psg_channels, self.sr)
 
     def render(self, events, seconds: float, master_gain: float = 0.9,
-               device_out: bool = False) -> np.ndarray:
+               device_out: bool = False, pcm16: bool = False) -> np.ndarray:
         """One jit-compiled dispatch for the whole note batch: buckets are
         resolved at trace time (static shapes), all NumPy inputs transfer
         bundled with the single call — the per-op eager path costs a full
@@ -454,7 +454,8 @@ class MegaDriveInspiredSynth:
         spec = tuple(b[0] for b in buckets)
         fn = _render_dispatch(self.sr, self._fade, float(self._lp1),
                               float(self._lp2), float(self._psg_lp),
-                              float(self._dac_m1), n_total, spec)
+                              float(self._dac_m1), n_total, spec,
+                              bool(pcm16))
         y = fn([b[1] for b in buckets], np.float32(master_gain),
                orbit, base, pos, clen)
         if device_out:
@@ -465,7 +466,7 @@ class MegaDriveInspiredSynth:
 @lru_cache(maxsize=64)
 def _render_dispatch(sr: int, fade: int, lp1: float, lp2: float,
                      psg_lp: float, dac_m1: float, n_total: int,
-                     spec: tuple):
+                     spec: tuple, pcm16: bool = False):
     """Jitted whole-batch renderer for a static bucket spec
     ((is_psg, L, count), ...): every bucket's vmapped voice bank + the
     overlap-add scatter + the tanh master bus, traced as ONE computation."""
@@ -502,19 +503,27 @@ def _render_dispatch(sr: int, fade: int, lp1: float, lp2: float,
             seg = jnp.minimum(a["n"], n_total - a["start"])
             contrib = jnp.where(i_vec[None, :] < seg[:, None], notes, 0.0)
             out = pallas_oa.overlap_add_dus(out, contrib, a["start"])
-        return jnp.tanh(out[:n_total]) * master_gain
+        y = jnp.tanh(out[:n_total]) * master_gain
+        if pcm16:
+            # PCM16 device conversion (reference saves PCM_16 WAVs —
+            # soundfile's WAV default subtype, app/ui_main.py:575)
+            return jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0) \
+                .astype(jnp.int16)
+        return y
 
     return jax.jit(run)
 
 
 def render(events, cfg: RenderConfig,
-           fm_channels=None, psg_channels=None):
-    """app/renderer.py:135-139: time-ops -> synth -> (audio, events)."""
+           fm_channels=None, psg_channels=None, pcm16: bool = False):
+    """app/renderer.py:135-139: time-ops -> synth -> (audio, events).
+    pcm16=True converts to int16 PCM on device (half the d2h pull)."""
     ev = apply_time_ops(events, cfg)
     s = MegaDriveInspiredSynth(cfg.sample_rate, seed=cfg.seed,
                                fm_channels=fm_channels,
                                psg_channels=psg_channels)
-    y = s.render(ev, seconds=cfg.seconds, master_gain=cfg.master_gain)
+    y = s.render(ev, seconds=cfg.seconds, master_gain=cfg.master_gain,
+                 pcm16=pcm16)
     return y, ev
 
 

@@ -177,11 +177,9 @@ def bench_microsound(extras):
                   stereo_width=float(p.stereo_width),
                   sat_drive=float(p.sat_drive), peak=float(p.peak))
     fused = ms._fused_fn(cfg, fx)
-    out0 = np.zeros(pallas_oa.ring_out_len(prog["out_n"], prog["L"]),
-                    np.float32)
     c0 = {k: jnp.asarray(v) for k, v in chunks[0].items()}
     extras["rtf_microsound_compute"] = round(seconds / _time_device(
-        lambda: fused(c0, None, jnp.asarray(out0), er_comb, irm)[2]), 2)
+        lambda: fused(c0, None, er_comb, irm)[2]), 2)
     extras["microsound_oa"] = oa
     return seconds / wall
 
@@ -200,7 +198,7 @@ def bench_patternlab(extras):
     out = {}
 
     def run():
-        out["y"], _ = pl.render(events, cfg)
+        out["y"], _ = pl.render(events, cfg, pcm16=True)
 
     wall = _time_best(run, repeats=2, check=out)
     if hasattr(pl, "render_device"):
@@ -269,7 +267,7 @@ def bench_grid_forestfire(extras):
     out = {}
 
     def run():
-        out["mix"] = grid._device_mixdown(n_total, rows)
+        out["mix"] = grid._device_mixdown(n_total, rows, pcm16=True)
         stats = model.simulate(n_ca_steps)
         eng.run_stream(ff.stats_rows_to_dicts(stats), rec.send)
 
