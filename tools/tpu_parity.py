@@ -94,6 +94,52 @@ def main():
     if not exact:
         failures.append("forestfire")
 
+    # grid: device table mixdown must equal the host twin BIT-FOR-BIT on
+    # this device (integer placement + envdet twins), and the ring OA
+    # kernel must match the sequential DUS accumulation exactly
+    from audio_suite_tpu.models import grid
+    from audio_suite_tpu.ops import envdet
+    import jax.numpy as jnp
+    from audio_suite_tpu.ops import pallas_oa as poa
+    n_total = sr * 2
+    g_rng = np.random.default_rng(11)
+    rows = [
+        {"pat": g_rng.uniform(-0.5, 0.5, 17321).astype(np.float32),
+         "start_idx": 0, "loop": True,
+         "resets": np.asarray([4000, 61000], np.int32), "mod_src": -1,
+         "win": 1200, "a_q12": 0, "gain": 1.0},
+        {"pat": g_rng.uniform(-0.5, 0.5, 9001).astype(np.float32),
+         "start_idx": -500, "loop": True, "resets": np.zeros(0, np.int32),
+         "mod_src": 0, "win": 960, "a_q12": envdet.amount_q12(0.9),
+         "gain": float(np.float32(0.7))},
+    ]
+    mix_d = grid._device_mixdown(n_total, rows)
+    mix_h, _ = grid._host_mixdown(n_total, rows, False)
+    eq = bool(np.array_equal(mix_d, mix_h))
+    print(f"{'grid device==host mixdown':<28} "
+          f"{'bit-exact' if eq else 'DIVERGED':>13}   "
+          f"{'OK' if eq else 'FAIL'}")
+    if not eq:
+        failures.append("grid")
+
+    if poa.ring_available():
+        E, L = 24, 4096
+        out_len = poa.ring_out_len(sr, L)
+        vals = g_rng.standard_normal((E, L)).astype(np.float32)
+        starts = np.sort(g_rng.integers(0, sr, E)).astype(np.int64) + L
+        rel, nflush, plan = poa.plan_ring(starts, L, out_len)
+        o0 = jnp.zeros(out_len, jnp.float32)
+        vj = jnp.asarray(vals)
+        ring = np.asarray(poa.ring_overlap_add(o0, vj, rel, nflush))
+        dus = np.asarray(poa.overlap_add_dus(
+            o0, vj, jnp.asarray(starts.astype(np.int32))))
+        eq = plan.feasible and bool(np.array_equal(ring, dus))
+        print(f"{'ring OA == sequential DUS':<28} "
+              f"{'bit-exact' if eq else 'DIVERGED':>13}   "
+              f"{'OK' if eq else 'FAIL'}")
+        if not eq:
+            failures.append("ring_oa")
+
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
