@@ -240,6 +240,9 @@ def build_parser():
     ap = argparse.ArgumentParser(
         prog="audio_suite_tpu",
         description="TPU-native renders of the audio-suite apps")
+    ap.add_argument("--trace", metavar="DIR",
+                    help="capture a jax.profiler device trace of the "
+                         "render into DIR (TensorBoard/Perfetto format)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     m = sub.add_parser("microsound", help="granular unfold synth render")
@@ -313,7 +316,10 @@ def build_parser():
 def main(argv=None):
     _apply_platform_env()
     args = build_parser().parse_args(argv)
-    args.fn(args)
+    from ..utils.profiling import device_trace
+
+    with device_trace(getattr(args, "trace", None)):
+        args.fn(args)
 
 
 if __name__ == "__main__":

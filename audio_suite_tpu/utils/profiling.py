@@ -50,3 +50,34 @@ class StageTimer:
 
     def report(self) -> dict:
         return {k: round(v, 4) for k, v in self.stages.items()}
+
+
+@contextmanager
+def device_trace(trace_dir: str | None):
+    """Capture a jax.profiler device trace into `trace_dir` (TensorBoard /
+    Perfetto format — xplane.pb + trace.json.gz under plugins/profile/).
+
+    The SURVEY §5 tracing requirement beyond wall-clock stages: per-op
+    device timelines for the jitted render kernels.  No-op when trace_dir
+    is falsy, so callers can thread a CLI flag straight through.  Adds a
+    block_until_ready-style sync on exit only implicitly via profiler
+    stop; callers timing the same region should treat traced runs as
+    non-representative (tracing adds overhead)."""
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(str(trace_dir))
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """jax.profiler.TraceAnnotation context: labels a host-side region so
+    it shows up on the captured timeline alongside device ops."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)

@@ -111,3 +111,26 @@ def test_microsound_preset_save_load_roundtrip(tmp_path):
         d = json.load(f)
     assert len(d) >= 80            # full get_params key set
     assert ms.load_preset(path).to_dict() == p.to_dict()
+
+
+def test_device_trace_capture(tmp_path):
+    """SURVEY §5 tracing: device_trace wraps a jitted render in a
+    jax.profiler capture and writes TensorBoard/Perfetto artifacts."""
+    import glob
+
+    import jax.numpy as jnp
+    import jax
+
+    from audio_suite_tpu.utils.profiling import annotate, device_trace
+
+    tdir = tmp_path / "trace"
+    with device_trace(str(tdir)):
+        with annotate("tiny-render"):
+            y = jax.jit(lambda x: jnp.tanh(x) * 0.5)(jnp.ones(4096))
+            y.block_until_ready()
+    found = glob.glob(str(tdir / "**" / "*.xplane.pb"), recursive=True) \
+        + glob.glob(str(tdir / "**" / "*.trace.json.gz"), recursive=True)
+    assert found, f"no profiler artifacts under {tdir}"
+    # no-op path
+    with device_trace(None):
+        pass
