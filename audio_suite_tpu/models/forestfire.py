@@ -384,24 +384,38 @@ class ForestFireModel:
     def __init__(self, params: ModelParams, seed: int = 1):
         self.params = params
         self.seed = int(seed)
-        self._np = init_state(params, seed)
+        self._state = init_state(params, seed)   # np arrays OR device arrays
         self._last = np.zeros(8, np.int64)
 
     # -- simulation --------------------------------------------------------
 
+    @property
+    def _np(self):
+        """Writable host view of the state (brush edits, rgb, stats).
+        After simulate() the state lives on DEVICE — pulling all six
+        fields eagerly cost ~6 tunnel roundtrips (~150 ms) per simulate;
+        materialize lazily, and only copy (np.asarray of a device buffer
+        is a read-only view that breaks brush edits)."""
+        if any(not isinstance(v, np.ndarray) for v in self._state.values()
+               if not np.isscalar(v)):
+            import jax
+
+            jax.block_until_ready(self._state)
+            self._state = {k: np.array(v) for k, v in self._state.items()}
+        return self._state
+
     def _carry(self):
-        # NumPy state transfers bundled with the jitted simulate call
-        return dict(self._np)
+        # device arrays pass straight back into the next simulate call (no
+        # h2d); host NumPy transfers bundled with the jitted call
+        return dict(self._state)
 
     def simulate(self, n_steps: int) -> np.ndarray:
         """Run n_steps on device (lax.scan); returns stats [n_steps, 8]
-        (columns = STAT_KEYS) and updates the host state mirror."""
+        (columns = STAT_KEYS).  The carry stays device-resident between
+        calls; host access (stats/edits/rgb) materializes it lazily."""
         fn = _sim_fn(self.params.static_key(), self.seed, int(n_steps),
                      self.params)
-        carry, stats = fn(self._carry())
-        # np.array (copy): np.asarray of a device buffer is a READ-ONLY
-        # view, which breaks later brush edits on the host mirror
-        self._np = {k: np.array(v) for k, v in carry.items()}
+        self._state, stats = fn(self._carry())
         stats = np.asarray(stats)
         if len(stats):
             self._last = stats[-1].astype(np.int64)
@@ -411,7 +425,7 @@ class ForestFireModel:
         self.simulate(1)
 
     def reset(self):
-        self._np = init_state(self.params, self.seed)
+        self._state = init_state(self.params, self.seed)
         self._last = np.zeros(8, np.int64)
 
     randomize = reset
