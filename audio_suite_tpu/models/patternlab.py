@@ -415,41 +415,60 @@ class MegaDriveInspiredSynth:
                     * np.float32(master_gain)).astype(np.float32)
 
         orbit, base, pos, clen = synth_ops.lfsr_tables()
-        buckets = []          # (is_psg, L, count) static spec + args dict
+        # spec key (is_psg, L, alg, count): FM notes additionally bucket
+        # by algorithm so only ONE operator stack is traced per bucket —
+        # a dynamic `algorithm` forces all three stacks (9 transcendental
+        # op evaluations vs 4-5)
+        buckets = []
         for is_psg in (False, True):
             sel = np.nonzero(batch["is_psg"] == is_psg)[0]
             if sel.size == 0:
                 continue
             ns = batch["n"][sel]
             for L in sorted(set(_bucket_len(int(x)) for x in ns)):
-                m = sel[(ns <= L) & (ns > L // 2)] if L > 256 else \
+                mL = sel[(ns <= L) & (ns > L // 2)] if L > 256 else \
                     sel[ns <= 256]
-                if m.size == 0:
+                if mL.size == 0:
                     continue
-                chan_b = batch["chan"][m]
-                args = {
-                    "n": batch["n"][m],
-                    "vel": batch["vel"][m],
-                    "start": batch["start"][m],
-                }
                 if is_psg:
-                    tab = self._psg_tab
-                    args.update(
-                        hz=np.asarray([music.midi_to_hz(x)
-                                       for x in batch["midi"][m]], np.float32),
-                        seeds=(self.seed + batch["k"][m]).astype(np.int32),
-                        duty=tab["duty"][chan_b], noise=tab["noise"][chan_b],
-                        A=tab["A"][chan_b], D=tab["D"][chan_b],
-                        R=tab["R"][chan_b], s=tab["s"][chan_b],
-                        lm1=tab["levels_m1"][chan_b],
-                        inv_lm1=tab["inv_levels_m1"][chan_b])
+                    alg_groups = [(0, mL)]
                 else:
-                    tab = self._fm_tab
-                    args.update(
-                        f_ops=fm_op_freqs(tab, chan_b, batch["midi"][m]),
-                        cp={k: tab[k][chan_b] for k in tab
-                            if not k.startswith("_")})
-                buckets.append(((bool(is_psg), int(L), int(len(m))), args))
+                    alg_all = self._fm_tab["algorithm"][batch["chan"][mL]]
+                    alg_groups = [(int(a), mL[alg_all == a])
+                                  for a in sorted(set(int(x)
+                                                      for x in alg_all))]
+                for alg, m in alg_groups:
+                    if m.size == 0:
+                        continue
+                    chan_b = batch["chan"][m]
+                    args = {
+                        "n": batch["n"][m],
+                        "vel": batch["vel"][m],
+                        "start": batch["start"][m],
+                    }
+                    if is_psg:
+                        tab = self._psg_tab
+                        args.update(
+                            hz=np.asarray([music.midi_to_hz(x)
+                                           for x in batch["midi"][m]],
+                                          np.float32),
+                            seeds=(self.seed + batch["k"][m])
+                            .astype(np.int32),
+                            duty=tab["duty"][chan_b],
+                            noise=tab["noise"][chan_b],
+                            A=tab["A"][chan_b], D=tab["D"][chan_b],
+                            R=tab["R"][chan_b], s=tab["s"][chan_b],
+                            lm1=tab["levels_m1"][chan_b],
+                            inv_lm1=tab["inv_levels_m1"][chan_b])
+                    else:
+                        tab = self._fm_tab
+                        args.update(
+                            f_ops=fm_op_freqs(tab, chan_b, batch["midi"][m]),
+                            cp={k: tab[k][chan_b] for k in tab
+                                if not k.startswith("_")})
+                    buckets.append(
+                        ((bool(is_psg), int(L), int(alg), int(len(m))),
+                         args))
 
         spec = tuple(b[0] for b in buckets)
         fn = _render_dispatch(self.sr, self._fade, float(self._lp1),
@@ -460,7 +479,7 @@ class MegaDriveInspiredSynth:
                orbit, base, pos, clen)
         if device_out:
             return y
-        return np.asarray(y, np.float32)
+        return np.asarray(y)          # int16 when pcm16, else float32
 
 
 @lru_cache(maxsize=64)
@@ -476,9 +495,9 @@ def _render_dispatch(sr: int, fade: int, lp1: float, lp2: float,
         # clamping (starts < n_total; tail contributions are pre-masked),
         # so overlap-add runs as sequential window DUS updates instead of
         # an element scatter (39x faster on v5e for the bench batch)
-        l_max = max([L for (_is_psg, L, _c) in spec] + [1])
+        l_max = max([L for (_is_psg, L, _a, _c) in spec] + [1])
         out = jnp.zeros(n_total + l_max, jnp.float32)
-        for (is_psg, L, _count), a in zip(spec, bucket_args):
+        for (is_psg, L, alg, _count), a in zip(spec, bucket_args):
             i_vec = jnp.arange(L, dtype=jnp.int32)
             if is_psg:
                 notes = jax.vmap(
@@ -497,7 +516,7 @@ def _render_dispatch(sr: int, fade: int, lp1: float, lp2: float,
                     synth_ops.fm_note(
                         i_vec, n, fo, vel, cpn, fade, jnp.float32(lp1),
                         jnp.float32(lp2), jnp.float32(dac_m1),
-                        jnp.float32(inv_dac), sr))(
+                        jnp.float32(inv_dac), sr, alg_static=alg))(
                     a["n"], a["f_ops"], a["vel"], a["cp"])
             # overlap-add with tail clamp (app/renderer.py:113-131)
             seg = jnp.minimum(a["n"], n_total - a["start"])

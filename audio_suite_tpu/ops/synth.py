@@ -151,8 +151,14 @@ def psg_note(i, n, hz, vel, duty, use_noise, A, D, R, s, levels_m1,
 # ----------------------------------------------------------------------------
 
 def fm_note(i, n, f_ops, vel, chan_params, fade_samples, lp_a1, lp_a2,
-            dac_levels_m1, inv_dac_levels_m1, sr):
+            dac_levels_m1, inv_dac_levels_m1, sr, alg_static=None):
     """One 4-operator FM note over padded indices i[L].
+
+    alg_static: when the caller buckets notes by algorithm (static), only
+    that algorithm's operator stack is traced — the branchless all-three
+    evaluation costs ~2x the transcendental work (9 op evaluations vs
+    4-5).  None keeps the branchless path (callers with mixed algorithms
+    in one batch, e.g. the dryrun's event-sharded job batch).
 
     f_ops: f32[4] per-op frequencies in Hz (host-precomputed
       base * ratio * 2**(cents/1200), single f64->f32 cast).
@@ -208,24 +214,30 @@ def fm_note(i, n, f_ops, vel, chan_params, fade_samples, lp_a1, lp_a2,
     use_fb = fb > 0
     o4_eff = jnp.where(use_fb, o4fb, o4)
 
-    # algorithm 1: 4 -> 3 -> 2 -> 1
-    a1_o3 = op_sig(2, pm(2, o4_eff))
-    a1_o2 = op_sig(1, pm(1, a1_o3))
-    a1_o1 = op_sig(0, pm(0, a1_o2))
-    y1 = a1_o1
+    def y_alg1():
+        # algorithm 1: 4 -> 3 -> 2 -> 1
+        o3 = op_sig(2, pm(2, o4_eff))
+        o2 = op_sig(1, pm(1, o3))
+        return op_sig(0, pm(0, o2))
 
-    # algorithm 2: (4->3) + (2->1), sum * 0.6
-    a2_o3 = a1_o3                         # same 4->3 stack
-    a2_o2 = op_sig(1, None)
-    a2_o1 = op_sig(0, pm(0, a2_o2))
-    y2 = (a2_o3 + a2_o1) * jnp.float32(0.6)
+    def y_alg2():
+        # algorithm 2: (4->3) + (2->1), sum * 0.6
+        o3 = op_sig(2, pm(2, o4_eff))
+        o2 = op_sig(1, None)
+        o1 = op_sig(0, pm(0, o2))
+        return (o3 + o1) * jnp.float32(0.6)
 
-    # algorithm 3: all carriers * 0.25
-    y3 = (op_sig(0, None) + op_sig(1, None) + op_sig(2, None) + o4) \
-        * jnp.float32(0.25)
+    def y_alg3():
+        # algorithm 3: all carriers * 0.25
+        return (op_sig(0, None) + op_sig(1, None) + op_sig(2, None)
+                + o4) * jnp.float32(0.25)
 
-    alg = chan_params["algorithm"]
-    y = jnp.where(alg == 1, y1, jnp.where(alg == 2, y2, y3))
+    if alg_static is not None:
+        y = {1: y_alg1, 2: y_alg2, 3: y_alg3}[int(alg_static)]()
+    else:
+        alg = chan_params["algorithm"]
+        y = jnp.where(alg == 1, y_alg1(),
+                      jnp.where(alg == 2, y_alg2(), y_alg3()))
 
     y = y * vel
     y = quantize_to_bits(y, dac_levels_m1, inv_dac_levels_m1)
