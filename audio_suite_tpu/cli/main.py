@@ -99,7 +99,7 @@ def cmd_tape(args):
         params.section_speeds = tape.fit_to_target_time(
             params, len(audio), args.target_time)
     t0 = time.perf_counter()
-    out = tape.render_tape(audio, params)
+    out = tape.render_tape(audio, params, interp=args.interp)
     meta = render_meta(out, sr, time.perf_counter() - t0)
     audio_io.write_wav(args.out, out, sr, subtype="PCM_16")
     print(f"{args.out}: {meta['seconds']:.2f}s @ {sr} Hz, "
@@ -123,7 +123,8 @@ def cmd_scrub(args):
 
     from ..utils.profiling import render_meta
     t0 = time.perf_counter()
-    out = scrub.render_scrub(audio, cfg, trace)
+    out = scrub.render_scrub(audio, cfg, trace,
+                             interp=args.interp)
     meta = render_meta(out, sr, time.perf_counter() - t0)
     audio_io.write_wav(args.out, out, sr)
     print(f"{args.out}: {meta['seconds']:.2f}s scrub @ {sr} Hz, "
@@ -259,6 +260,9 @@ def build_parser():
     m.set_defaults(fn=cmd_microsound)
 
     t = sub.add_parser("tape", help="varispeed tape render")
+    t.add_argument("--interp", choices=("linear", "sinc"), default="linear",
+                   help="read interpolation: linear (reference parity, "
+                        "default) or windowed sinc (quality mode)")
     t.add_argument("input")
     t.add_argument("-o", "--out", required=True)
     t.add_argument("--markers", help="comma-separated seconds")
@@ -272,6 +276,9 @@ def build_parser():
     t.set_defaults(fn=cmd_tape)
 
     s = sub.add_parser("scrub", help="gestural tape scrub render")
+    s.add_argument("--interp", choices=("linear", "sinc"), default="linear",
+                   help="read interpolation: linear (reference parity, "
+                        "default) or windowed sinc (quality mode)")
     s.add_argument("input")
     s.add_argument("-o", "--out", required=True)
     s.add_argument("--seconds", type=float, default=10.0)

@@ -395,12 +395,13 @@ def _read_blockwise(audio, whole, frac, span_blocks: int,
 
 @partial(jax.jit,
          static_argnames=("block_size", "span_blocks", "heads_integer",
-                          "out_i16"))
+                          "out_i16", "interp"))
 def scrub_render_kernel(audio, base_inc_q, js_q, seed, mod_consts,
                         jump_flags, seg_bases_whole, seg_bases_frac,
                         env_blocks, head_off_whole, head_off_frac, head_gain,
                         block_size: int, span_blocks: int = 1,
-                        heads_integer: bool = False, out_i16: bool = False):
+                        heads_integer: bool = False, out_i16: bool = False,
+                        interp: str = "linear"):
     """Fully parallel scrub render: on-device increment synthesis (detmath
     LFOs + counter-noise jitter, bit-identical to the NumPy twin) ->
     segmented fixed-point prefix sum (exclusive) -> per-head wrap-around
@@ -426,9 +427,19 @@ def scrub_render_kernel(audio, base_inc_q, js_q, seed, mod_consts,
     whole = whole + bw + carry
     frac = f - (carry << fixq.POS_FRAC_BITS)
 
-    use_blockwise = (T % 128 == 0) and n > 2 * span_blocks * 128 + 32
+    use_blockwise = ((T % 128 == 0) and n > 2 * span_blocks * 128 + 32
+                     and interp == "linear")
 
-    if use_blockwise and heads_integer:
+    if interp == "sinc":
+        # quality mode: per-head Lanczos-sinc gathers (fixq.gather_sinc_wrap)
+        buf = jnp.zeros(T, jnp.float32)
+        for h in range(head_off_whole.shape[0]):
+            f2 = frac + head_off_frac[h]
+            c2 = f2 >> fixq.POS_FRAC_BITS
+            w2 = whole + head_off_whole[h] + c2
+            f2 = f2 - (c2 << fixq.POS_FRAC_BITS)
+            buf = buf + fixq.gather_sinc_wrap(audio, w2, f2)
+    elif use_blockwise and heads_integer:
         # integer head offsets: shared one-hot matrix, summed windows
         buf = _read_blockwise_multi(audio, whole, frac, head_off_whole,
                                     span_blocks)
@@ -456,8 +467,8 @@ def scrub_render_kernel(audio, base_inc_q, js_q, seed, mod_consts,
 
 def render_scrub(audio: np.ndarray, cfg: ScrubConfig, trace: GestureTrace,
                  tape_pos0: float = 0.0, stereo: bool = False,
-                 device_out: bool = False,
-                 pcm16: bool = False) -> np.ndarray:
+                 device_out: bool = False, pcm16: bool = False,
+                 interp: str = "linear") -> np.ndarray:
     prog = build_scrub_program(audio, cfg, trace, tape_pos0)
     # NumPy args transfer bundled with the single jit call (one tunnel
     # roundtrip) — never device_put per array
@@ -473,7 +484,7 @@ def render_scrub(audio: np.ndarray, cfg: ScrubConfig, trace: GestureTrace,
         prog["seg_bases_whole"], prog["seg_bases_frac"], prog["env_blocks"],
         prog["head_off_whole"], prog["head_off_frac"],
         np.float32(prog["head_gain"]), prog["block_size"], span,
-        heads_integer, pcm16,
+        heads_integer, pcm16, interp,
     )
     if device_out:
         return out

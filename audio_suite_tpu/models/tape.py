@@ -259,7 +259,7 @@ def _pad_pow2(arr, fill, min_len=4):
 
 
 def tape_table_render(prog: dict, out_i16: bool = False,
-                      device_out: bool = False):
+                      device_out: bool = False, interp: str = "linear"):
     """Device tape engine: compact host control tables -> full on-device
     reconstruction (ops/varispeed.tape_device_render).  Host->device payload
     is O(visits + runs) ~ KBs instead of 12 bytes/output sample.
@@ -303,7 +303,7 @@ def tape_table_render(prog: dict, out_i16: bool = False,
         vs, bw, bf, vsec, rs, s0, rm,
         prog["starts"], prog["ends"], prog["reverse"], prog["boundaries"],
         trig, prog["splice_env"],
-        consts, t_pad, out_i16)
+        consts, t_pad, out_i16, interp)
     if device_out:
         return out[:T], tables["final"]
     return np.asarray(out)[:T], tables["final"]
@@ -311,7 +311,8 @@ def tape_table_render(prog: dict, out_i16: bool = False,
 
 def render_tape(audio, params: TapeParams,
                 num_frames: Optional[int] = None,
-                engine: str = "device") -> np.ndarray:
+                engine: str = "device",
+                interp: str = "linear") -> np.ndarray:
     """Offline render of `num_frames` output samples (default: one full
     duration-preserving pass over the tape).
 
@@ -332,7 +333,7 @@ def render_tape(audio, params: TapeParams,
         # NumPy fallback needs the host array
         prog = build_tape_program(audio, params, num_frames,
                                   with_mod=native_rt.get_lib() is None)
-        out, _ = tape_table_render(prog)
+        out, _ = tape_table_render(prog, interp=interp)
         return out
     prog = build_tape_program(audio, params, num_frames)
     if engine == "segment":

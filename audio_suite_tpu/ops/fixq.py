@@ -278,6 +278,76 @@ def gather_linear_wrap_np(audio, whole, frac):
 
 
 # ----------------------------------------------------------------------------
+# Fractional gather — windowed-sinc quality mode (opt-in)
+# ----------------------------------------------------------------------------
+#
+# The engines default to 2-tap linear interpolation because that is the
+# REFERENCE's semantics and the parity oracle's math (BASELINE.md,
+# "Interpolation quality").  The north star names windowed sinc as the
+# production-resampler quality bar; this is that mode: Lanczos-windowed
+# sinc over `taps` neighbours, weight-normalized (exact DC), K gathers +
+# K transcendental passes per output sample — slower than linear by
+# design, selected per render via the engines' interp="sinc" option.
+
+def _lanczos_w(x, half):
+    # sinc(x) * sinc(x/half) on |x| < half, 0 outside; jnp.sinc is the
+    # normalized sinc
+    return jnp.where(jnp.abs(x) < half,
+                     jnp.sinc(x) * jnp.sinc(x / half), 0.0)
+
+
+def gather_sinc_wrap(audio, whole, frac, taps: int = 16):
+    """Wrap-around Lanczos-windowed-sinc interpolated read (quality mode).
+
+    Read point p = whole + frac*2^-22; taps at integer offsets
+    j in [-taps/2+1, taps/2] with weights sinc(j-fr)*sinc((j-fr)/half),
+    normalized to unit sum so constants pass through exactly."""
+    n = audio.shape[0]
+    half = taps // 2
+    fr = frac.astype(jnp.float32) * POS_INV_F
+    acc = jnp.zeros(whole.shape, jnp.float32)
+    wsum = jnp.zeros(whole.shape, jnp.float32)
+    for j in range(-half + 1, half + 1):
+        w = _lanczos_w(jnp.float32(j) - fr, half)
+        acc = acc + w * audio[jnp.mod(whole + j, n)]
+        wsum = wsum + w
+    return acc / wsum
+
+
+def gather_sinc_clip(audio, whole, frac, taps: int = 16):
+    """Edge-clamped variant (tape reads clamp at the buffer ends rather
+    than wrapping, Tape…py:830-836 index clip)."""
+    n = audio.shape[0]
+    half = taps // 2
+    fr = frac.astype(jnp.float32) * POS_INV_F
+    acc = jnp.zeros(whole.shape, jnp.float32)
+    wsum = jnp.zeros(whole.shape, jnp.float32)
+    for j in range(-half + 1, half + 1):
+        w = _lanczos_w(jnp.float32(j) - fr, half)
+        acc = acc + w * audio[jnp.clip(whole + j, 0, n - 1)]
+        wsum = wsum + w
+    return acc / wsum
+
+
+def _lanczos_w_np(x, half):
+    return np.where(np.abs(x) < half,
+                    np.sinc(x) * np.sinc(x / half), 0.0).astype(np.float32)
+
+
+def gather_sinc_wrap_np(audio, whole, frac, taps: int = 16):
+    n = audio.shape[0]
+    half = taps // 2
+    fr = frac.astype(np.float32) * POS_INV_F
+    acc = np.zeros(np.shape(whole), np.float32)
+    wsum = np.zeros(np.shape(whole), np.float32)
+    for j in range(-half + 1, half + 1):
+        w = _lanczos_w_np(np.float32(j) - fr, half)
+        acc = np.float32(acc + w * audio[np.mod(whole + j, n)])
+        wsum = np.float32(wsum + w)
+    return acc / wsum
+
+
+# ----------------------------------------------------------------------------
 # Significand rounding (FMA-contraction-proof multiplies)
 # ----------------------------------------------------------------------------
 #

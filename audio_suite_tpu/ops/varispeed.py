@@ -671,14 +671,15 @@ def _wow_flutter_device(T: int, mod_ints, mod_flts, phase0):
     return qf32(mod)
 
 
-@partial(jax.jit, static_argnames=("consts", "t_total", "out_i16"))
+@partial(jax.jit, static_argnames=("consts", "t_total", "out_i16",
+                                  "interp"))
 def tape_device_render(audio, mod_ints, mod_flts, phase0,
                        visit_start, visit_bw, visit_bf, visit_sec,
                        run_start, run_s0, run_m,
                        starts, ends, reverse, boundaries,
                        splice_trig, splice_env,
                        consts: TapeConsts, t_total: int,
-                       out_i16: bool = False):
+                       out_i16: bool = False, interp: str = "linear"):
     """Whole tape render on device from compact control tables.
 
     Bit-reproduces the segment engine's positions: the increments are the
@@ -739,8 +740,16 @@ def tape_device_render(audio, mod_ints, mod_flts, phase0,
         buf = buf.at[rows.reshape(-1)].set(vals.reshape(-1))
         gain = gain * buf[:T]
 
-    idx1 = jnp.minimum(idx0 + 1, n - 1)
-    s = (jnp.float32(1.0) - fr) * audio[idx0] + fr * audio[idx1]
+    if interp == "sinc":
+        # quality mode (fixq.gather_sinc_clip): Lanczos-windowed sinc.
+        # fr is in 2^-22 units there; here fr is already f32 in [0,1)
+        from .fixq import POS_ONE as _PO
+        fq = jnp.rint(fr * jnp.float32(_PO)).astype(jnp.int32)
+        from . import fixq as _fx
+        s = _fx.gather_sinc_clip(audio, idx0, fq)
+    else:
+        idx1 = jnp.minimum(idx0 + 1, n - 1)
+        s = (jnp.float32(1.0) - fr) * audio[idx0] + fr * audio[idx1]
     s = jnp.clip(s * gain, -1.0, 1.0)
     if out_i16:
         q = jnp.clip(jnp.rint(s * jnp.float32(32768.0)), -32768.0, 32767.0)

@@ -212,3 +212,67 @@ def test_adsr_clamped_edge_cases_vs_oracle():
         want = np.zeros(L, np.float32)
         want[:n] = _adsr_env(n, sr, a, d, s, r, 0.004, 0.008)
         assert np.max(np.abs(got - want)) < 1e-6, (n, a, d, s, r)
+
+
+def test_sinc_interpolation_quality_and_twins():
+    """Opt-in windowed-sinc read (BASELINE.md interpolation note): must
+    reconstruct a bandlimited signal much better than the linear default,
+    and the device/NumPy twins must agree."""
+    import jax.numpy as jnp
+
+    from audio_suite_tpu.ops import fixq
+
+    n = 8192
+    sr = 8000.0
+    f0 = 441.0
+    x = np.sin(2 * np.pi * f0 * np.arange(n) / sr).astype(np.float32)
+
+    # read at speed 1.37 from sample 64 (away from wrap edges)
+    T = 4000
+    pos = 64.0 + 1.37 * np.arange(T)
+    whole = np.floor(pos).astype(np.int32)
+    frac = np.rint((pos - whole) * fixq.POS_ONE).astype(np.int32)
+    ideal = np.sin(2 * np.pi * f0 * pos / sr).astype(np.float64)
+
+    lin = np.asarray(fixq.gather_linear_wrap(
+        jnp.asarray(x), jnp.asarray(whole), jnp.asarray(frac)))
+    snc = np.asarray(fixq.gather_sinc_wrap(
+        jnp.asarray(x), jnp.asarray(whole), jnp.asarray(frac)))
+    sl = slice(16, T - 16)
+    err_lin = float(np.sqrt(np.mean((lin[sl] - ideal[sl]) ** 2)))
+    err_snc = float(np.sqrt(np.mean((snc[sl] - ideal[sl]) ** 2)))
+    assert err_snc < err_lin / 20.0, (err_lin, err_snc)
+
+    snc_np = fixq.gather_sinc_wrap_np(x, whole, frac)
+    assert float(np.max(np.abs(snc - snc_np))) < 1e-5
+
+
+def test_sinc_mode_through_engines():
+    """interp="sinc" renders through tape and scrub end-to-end."""
+    from audio_suite_tpu.models import scrub, tape
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    audio = (0.6 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+    p = tape.TapeParams(sample_rate=sr, markers=[6000],
+                        section_speeds=[1.3, 0.7],
+                        section_reverse=[False, True])
+    y_lin = tape.render_tape(audio, p, 8000)
+    y_snc = tape.render_tape(audio, p, 8000, interp="sinc")
+    assert y_snc.shape == y_lin.shape and np.isfinite(y_snc).all()
+    # same signal to first order, different interpolation detail
+    assert np.max(np.abs(y_snc - y_lin)) < 0.2
+    assert not np.array_equal(y_snc, y_lin)
+
+    # NOTE: two heads sit 4000 samples apart; pick a frequency that is
+    # NOT k/2 periods over that span or the heads cancel exactly
+    audio2 = (0.6 * np.sin(2 * np.pi * 347 * t)).astype(np.float32)
+    cfg = scrub.ScrubConfig(sample_rate=sr, head_count=2)
+    tr = scrub.scripted_gesture_trace(20, sr, drag_events=[(0.1, 4.0, 0.3)],
+                                      base_speed=0.7)
+    s_lin = scrub.render_scrub(audio2, cfg, tr)
+    s_snc = scrub.render_scrub(audio2, cfg, tr, interp="sinc")
+    assert s_snc.shape == s_lin.shape and np.isfinite(s_snc).all()
+    assert np.abs(s_lin).max() > 1e-3 and np.abs(s_snc).max() > 1e-3
+    assert not np.array_equal(s_snc, s_lin)
