@@ -461,8 +461,9 @@ class _TrackMeta:
 
 @dataclass(frozen=True)
 class _MixMeta:
-    n_total: int
-    n_pad: int
+    n_pad: int           # bucketed render length (the jit shape); the true
+    #                      n_total is a TRACED scalar so re-rendering at a
+    #                      tweaked master length reuses the compiled kernel
     tracks: tuple
     pcm16: bool = False
 
@@ -476,15 +477,19 @@ def _track_positions(i, inc, reset_mask, tm: _TrackMeta, n_total: int):
     shifted = jnp.where(reset_mask, 0, shifted)
 
     if tm.start_idx < 0:
-        prelen = min(-tm.start_idx, n_total)
         if tm.mod_src >= 0:
-            # pre-roll phase = sum of the first prelen increments
-            # (reference: np.sum(speed[:prelen]); needs the unsegmented sum)
+            # pre-roll phase = sum of the first prelen increments; the
+            # speed array is n_total long, so the reference's
+            # np.sum(speed[:prelen]) saturates at n_total increments
+            prelen = jnp.minimum(jnp.int32(-tm.start_idx), n_total)
             cw, cf = fixq.segmented_pos_cumsum(
                 inc, jnp.zeros_like(reset_mask))
             pre_w, pre_f = cw[prelen - 1], cf[prelen - 1]
         else:
-            pre_w, pre_f = jnp.int32(prelen), jnp.int32(0)
+            # unit speed: pre-roll = the FULL -start_idx (uncapped —
+            # capping at n_total diverged from the host/reference when the
+            # offset preceded the master start by more than its length)
+            pre_w, pre_f = jnp.int32(-tm.start_idx), jnp.int32(0)
     else:
         pre_w, pre_f = jnp.int32(0), jnp.int32(0)
 
@@ -508,8 +513,14 @@ def _track_positions(i, inc, reset_mask, tm: _TrackMeta, n_total: int):
 
 
 def _mix_body(meta: _MixMeta):
-    def run(flat_pat, resets):
-        """resets: int32 [n_tracks, R_pad], entries >= n_pad are padding."""
+    def run(flat_pat, resets, n_valid):
+        """resets: int32 [n_tracks, R_pad], entries >= n_pad are padding;
+        n_valid: traced true render length (output beyond it is zero and
+        sliced off by the host).  The mod chain runs at the padded length:
+        placed audio is zero beyond n_valid, so the envdet box sums, the
+        max-normalization and the derived speeds are bit-identical to the
+        host twin's n_total-length computation (adding exact zeros), and
+        the speeds beyond n_valid come out exactly 1.0."""
         i = jnp.arange(meta.n_pad, dtype=jnp.int32)
         placed_cache = {}
         mix = jnp.zeros(meta.n_pad, jnp.float32)
@@ -520,17 +531,14 @@ def _mix_body(meta: _MixMeta):
             else:
                 if tm.mod_src >= 0:
                     inc = envdet.mod_speed_fix(
-                        placed_cache[tm.mod_src][: meta.n_total],
-                        tm.win, tm.a_q12)
-                    inc = jnp.pad(inc, (0, meta.n_pad - meta.n_total),
-                                  constant_values=1 << fixq.POS_FRAC_BITS)
+                        placed_cache[tm.mod_src], tm.win, tm.a_q12)
                 else:
                     inc = jnp.full(meta.n_pad, 1 << fixq.POS_FRAC_BITS,
                                    jnp.int32)
                 reset_mask = jnp.zeros(meta.n_pad, jnp.bool_) \
                     .at[resets[ti]].set(True, mode="drop")
                 idx, valid = _track_positions(i, inc, reset_mask, tm,
-                                              meta.n_total)
+                                              n_valid)
                 # the flat bank is gain-premultiplied on the host: a device
                 # `gather*gain + mix` would FMA-contract and diverge from
                 # the host twin by 1 ulp
@@ -539,7 +547,7 @@ def _mix_body(meta: _MixMeta):
             if ti in mod_srcs:
                 placed_cache[ti] = placed
             mix = mix + placed                 # pinned track order
-        mix = jnp.clip(mix, -1.0, 1.0)[: meta.n_total]
+        mix = jnp.clip(mix, -1.0, 1.0)
         if meta.pcm16:
             # PCM16 device conversion (the reference exports PCM_16 WAVs:
             # soundfile's WAV default subtype) at half the d2h bytes
@@ -596,8 +604,9 @@ def _build_mix_program(project: GridProject):
             "loop": bool(t.loop_to_master),
             "resets": reset,
             "mod_src": int(t.mod_source_index) if modded else -1,
-            "win": max(1, int(round(max(0.0, t.mod_smoothing_ms)
-                                    * 0.001 * sr))),
+            "win": max(1, min(n_total,
+                              int(round(max(0.0, t.mod_smoothing_ms)
+                                        * 0.001 * sr)))),
             "a_q12": envdet.amount_q12(t.mod_amount) if modded else 0,
             "gain": float(np.float32(10.0 ** (float(t.gain_db) / 20.0))),
         })
@@ -660,10 +669,11 @@ def _device_mixdown(n_total: int, rows: list, device_out: bool = False,
             start_idx=row["start_idx"], loop=row["loop"],
             mod_src=row["mod_src"], win=row["win"], a_q12=row["a_q12"],
             gain=row["gain"]))
-    meta = _MixMeta(n_total=n_total, n_pad=n_pad, tracks=tuple(metas),
-                    pcm16=pcm16)
-    y = _mix_fn(meta)(flat_pat, resets)
-    return y if device_out else np.asarray(y)
+    meta = _MixMeta(n_pad=n_pad, tracks=tuple(metas), pcm16=pcm16)
+    y = _mix_fn(meta)(flat_pat, resets, np.int32(n_total))
+    if device_out:
+        return y          # padded to n_pad (zero tail); compute-only use
+    return np.asarray(y)[:n_total]
 
 
 def render_mixdown(project: GridProject,

@@ -927,8 +927,9 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
         "out_sr": int(p.base_sr),
         "design_sr_base": prog["gen_sr_base"],
         "events": prog["E"],
-        "grain_last": (None if grain_last is None
-                       else np.asarray(grain_last)),
+        # device array (or None), same contract as the fused path:
+        # np.asarray on access
+        "grain_last": grain_last,
     }
     if want_micro_last and prog["E"] > 0:
         meta["micro_last"] = _micro_last(prog, chain_cfg(p, prog, 1))

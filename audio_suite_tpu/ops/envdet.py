@@ -227,18 +227,3 @@ def speed_q_from_fix_np(inc):
     sequential oracle loop accumulates in f64."""
     return (np.asarray(inc, np.int32).astype(np.float32)
             * np.float32(1.0 / (1 << fixq.POS_FRAC_BITS)))
-
-
-def speed_is_active_np(placed, win: int) -> bool:
-    """Host-side structural decision mirroring the reference's
-    `max(env) > 1e-12 -> modulate` gate (grid_audio_app.py:739-741): the
-    device kernel's mod topology is static, so the gate must be decided on
-    the host from the same box sums the twin uses."""
-    placed = np.asarray(placed, np.float32)
-    n = placed.shape[0]
-    if n == 0:
-        return False
-    win = max(1, min(int(win), n))
-    x2 = exact_sq_np(placed)
-    s = _box_sums_direct(x2, n, win, np)
-    return bool(np.max(s) > np.float32(1e-24))

@@ -128,8 +128,29 @@ def bench_scrub(extras):
         out["y"] = scrub.render_scrub(audio, cfg, trace, pcm16=True)
 
     wall = _time_best(run, check=out)
+
+    # compute-only: prebuilt program, kernel-only timing (comparable to
+    # rtf_tape_compute/rtf_grid_compute which also pre-build)
+    from audio_suite_tpu.ops import fixq
+    import jax
+    import jax.numpy as jnp
+    prog = scrub.build_scrub_program(audio, cfg, trace, 0.0)
+    span = scrub.span_bound_blocks(prog["base_inc_q"], prog["js_q"])
+    span = 1 << (span - 1).bit_length()
+    adev = jax.device_put(jnp.asarray(prog["audio"]))
+    adev.block_until_ready()
+    heads_integer = bool(np.all(prog["head_off_frac"] == 0))
+    kargs = (adev, prog["base_inc_q"], prog["js_q"],
+             np.uint32(prog["seed"]), prog["mod_consts"],
+             prog["jump_flags"], prog["seg_bases_whole"],
+             prog["seg_bases_frac"], prog["env_blocks"],
+             prog["head_off_whole"], prog["head_off_frac"],
+             np.float32(prog["head_gain"]))
     extras["rtf_scrub_compute"] = round(audio_sec / _time_device(
-        lambda: scrub.render_scrub(audio, cfg, trace, device_out=True)), 2)
+        lambda: scrub.scrub_render_kernel(
+            *kargs, block_size=prog["block_size"], span_blocks=span,
+            heads_integer=heads_integer)), 2)
+    del fixq
     return audio_sec / wall
 
 
@@ -201,9 +222,15 @@ def bench_patternlab(extras):
         out["y"], _ = pl.render(events, cfg, pcm16=True)
 
     wall = _time_best(run, repeats=2, check=out)
-    if hasattr(pl, "render_device"):
-        extras["rtf_patternlab_compute"] = round(cfg.seconds / _time_device(
-            lambda: pl.render_device(events, cfg)), 2)
+
+    # compute-only: prebuilt synth + time-opped events (host bucket prep
+    # is ~1 ms but keeps the metric comparable to the other configs)
+    ev = pl.apply_time_ops(events, cfg)
+    synth = pl.MegaDriveInspiredSynth(cfg.sample_rate, seed=cfg.seed)
+    extras["rtf_patternlab_compute"] = round(cfg.seconds / _time_device(
+        lambda: synth.render(ev, seconds=cfg.seconds,
+                             master_gain=cfg.master_gain,
+                             device_out=True)), 2)
     return cfg.seconds / wall
 
 

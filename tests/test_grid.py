@@ -318,3 +318,27 @@ def test_native_placement_bit_equal_numpy():
             a = np.where(nat[1], pat[nat[0]], 0.0)
             b = np.where(valid2, pat[idx2], 0.0)
             assert np.array_equal(a, b), (loop, off)
+
+
+def test_device_host_bit_equal_deep_negative_offset(tmp_path):
+    """start_offset more negative than the master length: the pre-roll
+    phase must be the FULL -start_idx for unit-speed tracks (round-2
+    review finding: the device kernel capped it at n_total)."""
+    cellp = tmp_path / "c.py"
+    cellp.write_text(
+        "import numpy as np\n"
+        "def generate(sr, dur):\n"
+        "    n = int(round(sr*dur))\n"
+        "    return (0.1 + 0.8*np.arange(n)/n).astype(np.float32)\n")
+    t0 = grid.Track(name="deep", mode="duration", duration_seconds=0.07,
+                    uniform_n=1, loop_to_master=True,
+                    start_offset_seconds=-5.0)      # far before a 1s master
+    t0.ensure_cells(1)
+    t0.cells[0] = grid.CellSource("py", str(cellp))
+    p = grid.GridProject(tracks=[t0],
+                         master=grid.MasterClock("fixed_seconds", 1.0),
+                         sample_rate=8000)
+    mix_d = grid.render_mixdown(p, engine="device")
+    mix_h = grid.render_mixdown(p, engine="host")
+    assert np.array_equal(mix_d, mix_h)
+    assert float(np.max(np.abs(mix_d))) > 1e-3
