@@ -840,7 +840,8 @@ def _micro_last(prog: dict, cfg: ChainCfg):
 
 def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
            event_chunk: int | None = None, progress=None,
-           want_micro_last: bool = False, pcm16: bool = False):
+           want_micro_last: bool = False, pcm16: bool = False,
+           device_out: bool = False):
     """Full Microsound render (main_v2.py:588-792): returns (stereo
     [out_n, 2], meta dict) — f32, or int16 PCM with pcm16=True (device-side
     conversion halves the device->host transfer; the reference app writes
@@ -884,8 +885,11 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
     if prog["E"] > 0:
         L = prog["L"]
         if event_chunk is None:
-            # ~256 MB of grain buffers per chunk
-            event_chunk = max(1, min(prog["E"], (1 << 26) // max(1, L)))
+            # ~256 MB of grain buffers per chunk; bucket to a power of two
+            # so seed-to-seed event-count jitter (Poisson/Hawkes fields)
+            # reuses the compiled kernel instead of recompiling per render
+            event_chunk = max(1, min(_next_pow2(max(1, prog["E"])),
+                                     (1 << 26) // max(1, L)))
         chunks, ring_ok = _chunk_events(prog, event_chunk)
         oa = "ring" if (ring_ok and pallas_oa.ring_available()) else "dus"
         cfg = chain_cfg(p, prog, event_chunk, oa=oa)
@@ -909,7 +913,7 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
             }
             if want_micro_last:
                 meta["micro_last"] = _micro_last(prog, cfg)
-            return np.asarray(stereo), meta
+            return (stereo if device_out else np.asarray(stereo)), meta
         fn = _chunk_fn(cfg)
         out = np.zeros(pallas_oa.ring_out_len(out_n, L), np.float32)
         for ci, ch in enumerate(chunks):
@@ -935,7 +939,7 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
         meta["micro_last"] = _micro_last(prog, chain_cfg(p, prog, 1))
     if progress:
         progress(100, "Done.")
-    return np.asarray(stereo), meta
+    return (stereo if device_out else np.asarray(stereo)), meta
 
 
 def batch_render(params: MicrosoundParams, out_dir: str,
@@ -962,6 +966,23 @@ def batch_render(params: MicrosoundParams, out_dir: str,
         manifest = BatchManifest.open_or_create(manifest_path, job_ids)
 
     written = []
+    pending = None     # (device stereo, path, jid, meta): 1-deep pipeline
+
+    def _flush(item):
+        stereo_dev, path, jid, meta = item
+        try:
+            audio_io.write_wav(path, np.asarray(stereo_dev),
+                               int(params.base_sr))
+            written.append(path)
+            if manifest:
+                manifest.mark(jid, "done", events=meta["events"])
+        except Exception as e:   # per-item error isolation (SURVEY.md §5)
+            if manifest:
+                manifest.mark(jid, "failed",
+                              error=f"{type(e).__name__}: {e}")
+            else:
+                raise
+
     for k, ((s, u, st), jid) in enumerate(zip(jobs, job_ids)):
         path = os.path.join(out_dir, jid + ".wav")
         if manifest and manifest.jobs.get(jid, {}).get("status") == "done":
@@ -972,18 +993,24 @@ def batch_render(params: MicrosoundParams, out_dir: str,
         p.time_unfold = float(u)
         p.partial_stretch = float(st)
         try:
-            stereo, meta = render(p, ir_audio=ir_audio, img_gray=img_gray)
-            audio_io.write_wav(path, stereo, p.base_sr)
-            written.append(path)
-            if manifest:
-                manifest.mark(jid, "done", events=meta["events"])
-        except Exception as e:     # per-item error isolation (SURVEY.md §5)
+            # dispatch job k's device render, THEN pull job k-1: the
+            # previous render's d2h transfer overlaps this one's compute
+            # (jax dispatch is async), pipelining the batch through the
+            # transfer-bound link (BASELINE.md)
+            stereo_dev, meta = render(p, ir_audio=ir_audio,
+                                      img_gray=img_gray, device_out=True)
+            if pending is not None:
+                _flush(pending)
+            pending = (stereo_dev, path, jid, meta)
+        except Exception as e:
             if manifest:
                 manifest.mark(jid, "failed", error=f"{type(e).__name__}: {e}")
             else:
                 raise
         if progress:
             progress(int(100 * (k + 1) / len(jobs)), jid)
+    if pending is not None:
+        _flush(pending)
     return written
 
 
