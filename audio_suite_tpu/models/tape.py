@@ -269,20 +269,27 @@ def tape_table_render(prog: dict, out_i16: bool = False,
     consts = prog["consts"]
     T = int(prog["num_frames"])
     n = int(prog["audio"].shape[0])
-    from ..utils import native_rt
-    tables = native_rt.tape_tables(
-        T, n, prog["mod_consts"], prog["starts"], prog["ends"],
-        prog["speeds_q"], prog["reverse"], prog["boundaries"],
-        len(prog["splice_env"]), consts)
+    # memoize the control tables on the program dict: the C++ trajectory
+    # walk costs ~190 ms for a 3-minute render and depends only on the
+    # program (a fresh prog is built whenever params change, so re-renders
+    # of the same program skip straight to the device kernel)
+    tables = prog.get("_tables")
     if tables is None:
-        mod_q = prog["mod_q"]
-        if mod_q is None:
-            mod_q = wow_flutter_mod(T, int(prog["sample_rate"]),
-                                    int(prog["tape_age"]))
-        tables = varispeed.tape_tables(
-            n, mod_q, prog["starts"], prog["ends"], prog["speeds_q"],
-            prog["reverse"], prog["boundaries"], len(prog["splice_env"]),
-            consts)
+        from ..utils import native_rt
+        tables = native_rt.tape_tables(
+            T, n, prog["mod_consts"], prog["starts"], prog["ends"],
+            prog["speeds_q"], prog["reverse"], prog["boundaries"],
+            len(prog["splice_env"]), consts)
+        if tables is None:
+            mod_q = prog["mod_q"]
+            if mod_q is None:
+                mod_q = wow_flutter_mod(T, int(prog["sample_rate"]),
+                                        int(prog["tape_age"]))
+            tables = varispeed.tape_tables(
+                n, mod_q, prog["starts"], prog["ends"], prog["speeds_q"],
+                prog["reverse"], prog["boundaries"], len(prog["splice_env"]),
+                consts)
+        prog["_tables"] = tables
 
     # shape bucketing: pad the render length to 32k blocks and every table
     # to a power of two so repeated renders reuse the compiled kernel

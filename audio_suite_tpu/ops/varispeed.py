@@ -62,7 +62,11 @@ def _section_lookup(starts, ends, whole):
     Positions have frac in [0,1) so the integer part alone decides the bucket.
     """
     num_secs = starts.shape[0]
-    sec = jnp.searchsorted(starts, whole, side="right").astype(jnp.int32) - 1
+    # bisect via elementwise sum over the (small) section table:
+    # jnp.searchsorted lowers to a per-element loop of gathers on TPU
+    # (~20 ms per million positions); S passes of compares are ~free
+    sec = sum((whole >= starts[k]).astype(jnp.int32)
+              for k in range(num_secs)) - 1
     sec = jnp.clip(sec, 0, num_secs - 1)
     sec_start = starts[sec]
     sec_end = ends[sec]
@@ -101,20 +105,22 @@ def _read_index(whole, frac, sec_start, sec_end, rev):
 
 
 def _boundary_min_dist(boundaries, idx0):
-    """min |idx0 - b| over the sorted boundary array (Tape…py:838-840)."""
+    """min |idx0 - b| over the sorted boundary array (Tape…py:838-840).
+    Direct elementwise min over the (small) boundary table — see
+    _section_lookup for why not searchsorted."""
     nb = boundaries.shape[0]
-    j = jnp.searchsorted(boundaries, idx0).astype(jnp.int32)
-    lo = boundaries[jnp.clip(j - 1, 0, nb - 1)]
-    hi = boundaries[jnp.clip(j, 0, nb - 1)]
-    d_lo = jnp.where(j - 1 >= 0, jnp.abs(idx0 - lo), jnp.int32(2**30))
-    d_hi = jnp.where(j < nb, jnp.abs(hi - idx0), jnp.int32(2**30))
-    return jnp.minimum(d_lo, d_hi)
+    d = jnp.full(idx0.shape, jnp.int32(2**30))
+    for k in range(nb):
+        d = jnp.minimum(d, jnp.abs(idx0 - boundaries[k]))
+    return d
 
 
 def _boundary_hit(boundaries, idx0):
     nb = boundaries.shape[0]
-    j = jnp.searchsorted(boundaries, idx0).astype(jnp.int32)
-    return (j < nb) & (boundaries[jnp.clip(j, 0, nb - 1)] == idx0)
+    hit = jnp.zeros(idx0.shape, jnp.bool_)
+    for k in range(nb):
+        hit = hit | (idx0 == boundaries[k])
+    return hit
 
 
 @partial(jax.jit, static_argnames=("consts",))
@@ -748,8 +754,13 @@ def tape_device_render(audio, mod_ints, mod_flts, phase0,
         from . import fixq as _fx
         s = _fx.gather_sinc_clip(audio, idx0, fq)
     else:
-        idx1 = jnp.minimum(idx0 + 1, n - 1)
-        s = (jnp.float32(1.0) - fr) * audio[idx0] + fr * audio[idx1]
+        # ONE packed pair gather instead of two element gathers: TPU
+        # gathers cost per index, not per byte (same trick as the CA's
+        # packed ember gather); values are identical so parity is exact
+        pairs = jnp.stack(
+            [audio, jnp.concatenate([audio[1:], audio[-1:]])], axis=-1)
+        pr = pairs[idx0]
+        s = (jnp.float32(1.0) - fr) * pr[:, 0] + fr * pr[:, 1]
     s = jnp.clip(s * gain, -1.0, 1.0)
     if out_i16:
         q = jnp.clip(jnp.rint(s * jnp.float32(32768.0)), -32768.0, 32767.0)

@@ -42,15 +42,23 @@ def _time_device(fn, K=5):
     """Amortized per-dispatch seconds for a device-resident computation
     (compute-only RTF): K back-to-back async dispatches, one queue drain.
     A single tunnel-attached jit call costs ~26 ms of roundtrip latency
-    that per-call timing would misattribute to compute."""
-    import jax
+    that per-call timing would misattribute to compute.
+
+    The drain is a DATA-DEPENDENT scalar readback (sum -> float), not
+    block_until_ready: through the tunnel BUR has been observed returning
+    before the queued work completes, which reports absurd throughputs."""
+    import jax.numpy as jnp
+
+    def drain(y):
+        return float(jnp.sum(jnp.abs(jnp.ravel(y)).astype(jnp.float32)))
+
     y = fn()
-    jax.block_until_ready(y)            # compile + settle
+    drain(y)                            # compile + settle
     t0 = time.perf_counter()
     for _ in range(K):
         y = fn()
-    jax.block_until_ready(y)            # device executes in order
-    return max(1e-9, (time.perf_counter() - t0) / K)
+    drain(y)                            # device executes in order
+    return max(1e-9, (time.perf_counter() - t0 - 0.026) / K)
 
 
 def _test_audio(sr, seconds, seed=7):
