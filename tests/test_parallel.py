@@ -144,3 +144,27 @@ def test_sharded_fir_conv_matches_single_device():
         want = tl.sharded_conv_reference(x, kernel)
         scale = max(1e-9, float(np.max(np.abs(want))))
         assert np.max(np.abs(got - want)) / scale < 1e-5, K
+
+
+def test_batch_render_pipelined_matches_single(tmp_path):
+    """The pipelined batch (pull k overlaps compute k+1) must write the
+    same audio as individual renders."""
+    from audio_suite_tpu.models import microsound as ms
+    from audio_suite_tpu.utils import io as audio_io
+
+    p = ms.MicrosoundParams.from_dict(dict(
+        base_sr=8000, out_dur_s=0.4, time_unfold=3.0, micro_ms=2.0,
+        gen_mode="Gaussian click", grains_per_sec=25.0, max_grains=24,
+        bandlimit_on=True, bandlimit_out_hz=3000.0, er_cloud_on=False,
+        stereo_on=True, bp_density="", bp_unfold="", bp_cutoff="",
+        bp_stretch="", seed=3))
+    paths = ms.batch_render(p, str(tmp_path), seeds=[3, 4, 5])
+    assert len(paths) == 3
+    for seed, path in zip([3, 4, 5], paths):
+        p2 = ms.MicrosoundParams.from_dict(p.to_dict())
+        p2.seed = seed
+        want, _ = ms.render(p2)
+        got, sr = audio_io.read_wav(path)
+        assert sr == 8000
+        # write_wav default FLOAT roundtrips exactly
+        assert np.allclose(got, want, atol=1e-6), seed
