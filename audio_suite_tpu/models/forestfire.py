@@ -27,6 +27,7 @@ the host-side state mirror.
 """
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 from functools import lru_cache
 
@@ -419,6 +420,16 @@ class ForestFireModel:
         stats = np.asarray(stats)
         if len(stats):
             self._last = stats[-1].astype(np.int64)
+            # make cap-binding runs visible: the ember scatter compacts
+            # emitters to EMBER_CAP slots per step (top_k by linear index);
+            # if more cells emitted, low-index emitters were dropped that
+            # step and the trajectory deviates from the uncapped semantics
+            max_embers = int(stats[:, 6].max())
+            if max_embers > EMBER_CAP:
+                warnings.warn(
+                    f"forestfire: {max_embers} emitting cells in one step "
+                    f"exceeds EMBER_CAP={EMBER_CAP}; lowest-index emitters "
+                    "were dropped for that step", RuntimeWarning)
         return stats
 
     def step(self):

@@ -516,11 +516,11 @@ def _mix_body(meta: _MixMeta):
     def run(flat_pat, resets, n_valid):
         """resets: int32 [n_tracks, R_pad], entries >= n_pad are padding;
         n_valid: traced true render length (output beyond it is zero and
-        sliced off by the host).  The mod chain runs at the padded length:
-        placed audio is zero beyond n_valid, so the envdet box sums, the
-        max-normalization and the derived speeds are bit-identical to the
-        host twin's n_total-length computation (adding exact zeros), and
-        the speeds beyond n_valid come out exactly 1.0."""
+        sliced off by the host).  The mod chain runs at the padded length
+        with its box sums masked beyond n_valid (envdet.mod_speed_fix
+        n_valid), so the max-normalization domain — and every derived
+        speed at i < n_valid — is bit-identical to the host twin's
+        n_total-length computation."""
         i = jnp.arange(meta.n_pad, dtype=jnp.int32)
         placed_cache = {}
         mix = jnp.zeros(meta.n_pad, jnp.float32)
@@ -530,8 +530,12 @@ def _mix_body(meta: _MixMeta):
                 placed = jnp.zeros(meta.n_pad, jnp.float32)
             else:
                 if tm.mod_src >= 0:
+                    # n_valid masks the padded-tail box sums so the
+                    # max-normalization domain matches the host twin's
+                    # n_total-length computation exactly
                     inc = envdet.mod_speed_fix(
-                        placed_cache[tm.mod_src], tm.win, tm.a_q12)
+                        placed_cache[tm.mod_src], tm.win, tm.a_q12,
+                        n_valid=n_valid)
                 else:
                     inc = jnp.full(meta.n_pad, 1 << fixq.POS_FRAC_BITS,
                                    jnp.int32)

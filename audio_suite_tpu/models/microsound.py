@@ -473,6 +473,11 @@ class ChainCfg:
 
 def chain_cfg(params: MicrosoundParams, prog: dict, ec: int,
               oa: str = "dus") -> ChainCfg:
+    if int(prog.get("E", 0)) <= 0:
+        # E==0 programs carry no event tables (build_program returns early);
+        # the grain chain is undefined for them — render() skips it entirely
+        raise ValueError("chain_cfg requires a non-empty event program "
+                         "(prog['E'] == 0: nothing to chain)")
     p = params
     mb = ()
     if p.unfold_mode != "Classic reinterpret":
@@ -483,7 +488,7 @@ def chain_cfg(params: MicrosoundParams, prog: dict, ec: int,
     fuse = (bool(p.bandlimit_on) and not p.nl_warp_on and not p.cep_warp_on
             and not p.partial_lock_on)
     shared = (fuse and not p.res_bank_on and not p.wg_on and not mb
-              and "stretch" in prog
+              and "stretch" in prog and len(prog["stretch"]) > 0
               and bool(np.all(prog["stretch"] == prog["stretch"][0])))
     return ChainCfg(
         mode_id=GEN_MODES.index(p.gen_mode),

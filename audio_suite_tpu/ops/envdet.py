@@ -158,20 +158,31 @@ def _exp_scale_bits(smax_bits):
     return ((29 - e) + 127) << 23                 # bits of 2**(29-e)
 
 
-def mod_speed_fix(placed, win: int, a_q12: int):
+def mod_speed_fix(placed, win: int, a_q12: int, n_valid=None):
     """Device twin: placed f32 [n] -> int32 speed in 2**-22 units, [0.25,4].
 
     Chain: box-sum of exact x**2 (shift-only binary decomposition; the /win of a
     true moving average cancels in the normalization), exponent-normalize
     so smax lands in [2**29, 2**30), two-stage integer division for a
     30-bit u = s/smax, 15-bit integer sqrt, speed = 1 + a*env saturated in
-    int32 2**-22 units."""
+    int32 2**-22 units.
+
+    `n_valid` (traced scalar, optional): true signal length when `placed`
+    is zero-padded beyond it.  Box sums at i in [n_valid, n_valid + win/2)
+    still overlap real audio through their lookback but are assembled with
+    a different shift/add grouping than any host-twin window, so without
+    masking a few-ulp rounding excess near a tie could push the max — and
+    every derived speed — off the host twin's.  Masking pins the max
+    domain to [0, n_valid), identical to the host twin computed at the
+    true length."""
     placed = jnp.asarray(placed, jnp.float32)
     n = placed.shape[0]
     win = max(1, min(int(win), n))
     x2 = exact_sq(placed)
     s = _box_sums_direct(x2, n, win, jnp)
     s = jnp.maximum(s, 0.0)                       # cancellation guard
+    if n_valid is not None:
+        s = jnp.where(jnp.arange(n, dtype=jnp.int32) < n_valid, s, 0.0)
     smax = jnp.maximum(jnp.max(s), jnp.float32(2.0 ** -40))
     sb = jax.lax.bitcast_convert_type(smax, jnp.int32)
     scale = jax.lax.bitcast_convert_type(_exp_scale_bits(sb), jnp.float32)
