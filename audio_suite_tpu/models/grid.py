@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..ops import envdet, fixq
 from ..plugins.host import load_py_module
 from ..utils import io as audio_io
+from ..utils.transfer import chunked_pull
 
 DEFAULT_DIVISION_SNIPPET = "def divisions(total):\n    return [total/16.0]*16\n"
 
@@ -644,6 +645,29 @@ def _host_mixdown(n_total: int, rows: list, return_tracks: bool):
     return (mix, placed_tracks) if return_tracks else (mix, None)
 
 
+_BANK_CACHE: "OrderedDict[bytes, object]" = None
+
+
+def _bank_device_cached(flat_pat: np.ndarray):
+    """Device-side pattern-bank cache keyed on content hash: re-renders of
+    an unchanged project (the tweak-and-rerender loop) ship only the
+    KB-scale reset tables instead of re-uploading MBs of pattern audio.
+    Bounded at 8 banks, least-recently-used evicted."""
+    global _BANK_CACHE
+    import hashlib
+    from collections import OrderedDict
+    if _BANK_CACHE is None:
+        _BANK_CACHE = OrderedDict()
+    key = hashlib.blake2b(flat_pat.view(np.uint8), digest_size=16).digest()
+    dev = _BANK_CACHE.pop(key, None)
+    if dev is None:
+        dev = jax.device_put(jnp.asarray(flat_pat))
+    _BANK_CACHE[key] = dev
+    while len(_BANK_CACHE) > 8:
+        _BANK_CACHE.popitem(last=False)
+    return dev
+
+
 def _device_mixdown(n_total: int, rows: list, device_out: bool = False,
                     pcm16: bool = False):
     """Device engine: flat pattern bank + reset tables -> one jit call."""
@@ -660,6 +684,7 @@ def _device_mixdown(n_total: int, rows: list, device_out: bool = False,
     # are static meta so padding never aliases into a real pattern
     cap = 1 << max(4, int(np.ceil(np.log2(max(2, flat_pat.size)))))
     flat_pat = np.pad(flat_pat, (0, cap - flat_pat.size))
+    flat_pat = _bank_device_cached(flat_pat)
 
     r_max = max([len(r["resets"]) for r in rows] + [1])
     r_cap = 1 << int(np.ceil(np.log2(max(2, r_max))))
@@ -677,12 +702,13 @@ def _device_mixdown(n_total: int, rows: list, device_out: bool = False,
     y = _mix_fn(meta)(flat_pat, resets, np.int32(n_total))
     if device_out:
         return y          # padded to n_pad (zero tail); compute-only use
-    return np.asarray(y)[:n_total]
+    return chunked_pull(y, n_total)
 
 
 def render_mixdown(project: GridProject,
                    return_tracks: bool = False,
-                   engine: str = "device"):
+                   engine: str = "device",
+                   pcm16: bool = False):
     """Full mixdown (grid_audio_app.py:708-756): restart pre-pass ->
     per-track pattern -> mod-speed envelope -> reset-aware placement ->
     gain -> sum -> clip (+ optional 0.98 peak normalize).
@@ -691,10 +717,16 @@ def render_mixdown(project: GridProject,
     as ONE jitted kernel from compact tables.  engine="host": NumPy twin
     (exact same integers/floats; the measured fallback and the
     cross-validation path).  return_tracks always uses the host twin since
-    it materializes every placed track anyway."""
+    it materializes every placed track anyway.
+
+    pcm16=True (device engine only, incompatible with project.normalize):
+    int16 PCM conversion on device — the reference exports PCM_16 WAVs
+    anyway (soundfile's default) and the pull is half the bytes."""
     n_total, rows = _build_mix_program(project)
 
     if engine == "device" and not return_tracks:
+        if pcm16 and not project.normalize:
+            return _device_mixdown(n_total, rows, pcm16=True)
         mix = _device_mixdown(n_total, rows)
         placed_tracks = None
     else:

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from ..events.schedulers import generate_event_times
 from ..ops import envelopes, generators, pallas_oa, space, spectral
 from ..utils.breakpoints import parse_breakpoints, eval_breakpoints
+from ..utils.transfer import chunked_pull
 
 GEN_MODES = (
     "Gaussian click", "Dust impulses", "Noise burst", "Skewed transient",
@@ -918,7 +919,7 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
             }
             if want_micro_last:
                 meta["micro_last"] = _micro_last(prog, cfg)
-            return (stereo if device_out else np.asarray(stereo)), meta
+            return (stereo if device_out else chunked_pull(stereo)), meta
         fn = _chunk_fn(cfg)
         out = np.zeros(pallas_oa.ring_out_len(out_n, L), np.float32)
         for ci, ch in enumerate(chunks):
@@ -944,7 +945,7 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
         meta["micro_last"] = _micro_last(prog, chain_cfg(p, prog, 1))
     if progress:
         progress(100, "Done.")
-    return (stereo if device_out else np.asarray(stereo)), meta
+    return (stereo if device_out else chunked_pull(stereo)), meta
 
 
 def batch_render(params: MicrosoundParams, out_dir: str,

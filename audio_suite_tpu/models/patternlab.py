@@ -31,6 +31,7 @@ from ..events.notes import NoteEvent, RenderConfig, apply_time_ops, prepare_note
 from ..ops import pallas_oa
 from ..ops import synth as synth_ops
 from ..utils import music
+from ..utils.transfer import chunked_pull
 
 YM2612_DAC_BITS = 14     # app/constants.py
 POST_LP_HZ = 12000.0
@@ -479,7 +480,7 @@ class MegaDriveInspiredSynth:
                orbit, base, pos, clen)
         if device_out:
             return y
-        return np.asarray(y)          # int16 when pcm16, else float32
+        return chunked_pull(y)        # int16 when pcm16, else float32
 
 
 @lru_cache(maxsize=64)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from ..ops import detmath, fixq, noise
 from ..ops.fixq import round_sig12, round_sig12_np
+from ..utils.transfer import chunked_pull
 
 # Config constants (scrubber_0.7.py:35-75)
 DEFAULT_HEAD_OFFSETS = (-2000.0, 0.0, 2000.0)
@@ -395,13 +396,13 @@ def _read_blockwise(audio, whole, frac, span_blocks: int,
 
 @partial(jax.jit,
          static_argnames=("block_size", "span_blocks", "heads_integer",
-                          "out_i16", "interp"))
+                          "out_i16", "interp", "stereo"))
 def scrub_render_kernel(audio, base_inc_q, js_q, seed, mod_consts,
                         jump_flags, seg_bases_whole, seg_bases_frac,
                         env_blocks, head_off_whole, head_off_frac, head_gain,
                         block_size: int, span_blocks: int = 1,
                         heads_integer: bool = False, out_i16: bool = False,
-                        interp: str = "linear"):
+                        interp: str = "linear", stereo: bool = False):
     """Fully parallel scrub render: on-device increment synthesis (detmath
     LFOs + counter-noise jitter, bit-identical to the NumPy twin) ->
     segmented fixed-point prefix sum (exclusive) -> per-head wrap-around
@@ -458,6 +459,11 @@ def scrub_render_kernel(audio, base_inc_q, js_q, seed, mod_consts,
 
     env = jnp.repeat(env_blocks, block_size)
     y = buf * env
+    if stereo:
+        # the reference writes the same block to both channels
+        # (scrubber_0.7.py:233-234); duplicate on DEVICE so the timed
+        # d2h pull carries real stereo PCM bytes
+        y = jnp.stack([y, y], axis=-1)
     if out_i16:
         # PCM16 device conversion (wavcodec convention): half the d2h pull
         return jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0) \
@@ -484,11 +490,8 @@ def render_scrub(audio: np.ndarray, cfg: ScrubConfig, trace: GestureTrace,
         prog["seg_bases_whole"], prog["seg_bases_frac"], prog["env_blocks"],
         prog["head_off_whole"], prog["head_off_frac"],
         np.float32(prog["head_gain"]), prog["block_size"], span,
-        heads_integer, pcm16, interp,
+        heads_integer, pcm16, interp, stereo,
     )
     if device_out:
         return out
-    out = np.asarray(out)
-    if stereo:
-        return np.column_stack([out, out])  # scrubber_0.7.py:233-234
-    return out
+    return chunked_pull(out)

@@ -32,6 +32,7 @@ from ..ops import fixq, varispeed
 from ..ops.varispeed import (TapeConsts, tape_scan_render,
                              tape_segment_render)
 from ..utils import io as audio_io
+from ..utils.transfer import chunked_pull
 
 
 @dataclass
@@ -259,7 +260,8 @@ def _pad_pow2(arr, fill, min_len=4):
 
 
 def tape_table_render(prog: dict, out_i16: bool = False,
-                      device_out: bool = False, interp: str = "linear"):
+                      device_out: bool = False, interp: str = "linear",
+                      stereo: bool = False):
     """Device tape engine: compact host control tables -> full on-device
     reconstruction (ops/varispeed.tape_device_render).  Host->device payload
     is O(visits + runs) ~ KBs instead of 12 bytes/output sample.
@@ -310,10 +312,10 @@ def tape_table_render(prog: dict, out_i16: bool = False,
         vs, bw, bf, vsec, rs, s0, rm,
         prog["starts"], prog["ends"], prog["reverse"], prog["boundaries"],
         trig, prog["splice_env"],
-        consts, t_pad, out_i16, interp)
+        consts, t_pad, out_i16, interp, stereo)
     if device_out:
         return out[:T], tables["final"]
-    return np.asarray(out)[:T], tables["final"]
+    return chunked_pull(out, T), tables["final"]
 
 
 def render_tape(audio, params: TapeParams,

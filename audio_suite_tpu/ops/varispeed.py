@@ -678,14 +678,15 @@ def _wow_flutter_device(T: int, mod_ints, mod_flts, phase0):
 
 
 @partial(jax.jit, static_argnames=("consts", "t_total", "out_i16",
-                                  "interp"))
+                                  "interp", "stereo"))
 def tape_device_render(audio, mod_ints, mod_flts, phase0,
                        visit_start, visit_bw, visit_bf, visit_sec,
                        run_start, run_s0, run_m,
                        starts, ends, reverse, boundaries,
                        splice_trig, splice_env,
                        consts: TapeConsts, t_total: int,
-                       out_i16: bool = False, interp: str = "linear"):
+                       out_i16: bool = False, interp: str = "linear",
+                       stereo: bool = False):
     """Whole tape render on device from compact control tables.
 
     Bit-reproduces the segment engine's positions: the increments are the
@@ -762,6 +763,10 @@ def tape_device_render(audio, mod_ints, mod_flts, phase0,
         pr = pairs[idx0]
         s = (jnp.float32(1.0) - fr) * pr[:, 0] + fr * pr[:, 1]
     s = jnp.clip(s * gain, -1.0, 1.0)
+    if stereo:
+        # stereo export: identical samples on both channels, duplicated on
+        # device so the (timed) d2h pull carries real stereo PCM bytes
+        s = jnp.stack([s, s], axis=-1)
     if out_i16:
         q = jnp.clip(jnp.rint(s * jnp.float32(32768.0)), -32768.0, 32767.0)
         return q.astype(jnp.int16)
