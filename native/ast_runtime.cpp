@@ -313,13 +313,15 @@ int32_t ast_tape_tables(
     const float* S = sin_coeffs;
     const float* C = sin_coeffs + 5;
 
-    // pass 1: wow/flutter mod, in a separate per-sample-independent loop so
-    // the compiler can vectorize the sine polynomial + rounding.  Phase
-    // residues use incremental modular counters (rw(i) = (i*wn) mod wm) —
-    // no per-sample integer division; wn < wm after phase_ratio's gcd
-    // reduction so one conditional subtract per step suffices.
-    float* mod = new float[T];
-    {
+    // wow/flutter mod.  The sequential (inertia) path materializes mod[T]
+    // in a separate vectorizable pass; the fast path below instead reads
+    // PERIOD TABLES — rw(i) = (i*wn) mod wm repeats with period wm, so one
+    // rounded sine per residue (wm + fm entries, ~KBs-MBs) replaces 2*T
+    // sine evaluations.  Values are bit-identical: the table entry is the
+    // same float expression the per-sample loop evaluates.
+    float* mod = nullptr;
+    if (inertia_on) {
+        mod = new float[T];
         uint32_t rw = 0, rf = 0;
         float* phw = new float[T];
         float* phf = new float[T];
@@ -371,6 +373,232 @@ int32_t ast_tape_tables(
 
     int64_t last_end = -1;     // splice greedy suppression state
     int64_t i = 0;
+
+    if (!inertia_on) {
+        // -------- fast path: constant speed within a visit ---------------
+        // Decisions are bit-identical to the sequential loop below: the
+        // per-sample speed is the section target, so inc[j] =
+        // rint((spd*mod[j])*2^22) vectorizes, the crossing is the first
+        // inclusive prefix >= d_fix, and splice triggers are found by
+        // binary-searching the prefix for the <=2-whole-sample windows
+        // where idx0 can equal a boundary, then applying the EXACT
+        // per-sample idx0 rule inside the window (reverse sections
+        // included).  The sequential path remains for inertia_on.
+        int64_t* I = new int64_t[T];          // inclusive prefix per visit
+        int32_t* incc = new int32_t[65536];
+
+        // period tables of the 12-bit-rounded sines (wm/fm residues; the
+        // phase sequences are (i*wn) mod wm so each residue's sine value
+        // is a constant of the render).  Guard against absurd periods
+        // (non-audio sample rates) with a T-bounded cap: past that, the
+        // direct per-sample fill is cheaper anyway.
+        const int64_t TAB_CAP = 1 << 23;
+        bool tab_ok = (int64_t)wm + (int64_t)fm <= TAB_CAP
+                      && (int64_t)wm + (int64_t)fm <= 2 * T + 16;
+        float* swt = nullptr;
+        float* sft = nullptr;
+        if (tab_ok) {
+            swt = new float[wm];
+            sft = new float[fm];
+            for (uint32_t r = 0; r < wm; ++r)
+                swt[r] = round_sig12f(
+                    sin_cycles_f(p0w + (float)(int32_t)r * winv, S, C));
+            for (uint32_t r = 0; r < fm; ++r)
+                sft[r] = round_sig12f(
+                    sin_cycles_f(p0f + (float)(int32_t)r * finv, S, C));
+        }
+        // fused per-chunk inc fill: mod -> inc in one vectorizable sweep,
+        // reading the period tables in affine runs between wraps
+        auto fill_inc = [&](int64_t j0, int64_t kn, float spd_f) {
+            if (tab_ok) {
+                uint32_t rw = (uint32_t)(((uint64_t)j0 * wn) % wm);
+                uint32_t rf = (uint32_t)(((uint64_t)j0 * fn) % fm);
+                int64_t k = 0;
+                while (k < kn) {
+                    int64_t mw = (int64_t)((wm - rw + wn - 1) / wn);
+                    int64_t mf = (int64_t)((fm - rf + fn - 1) / fn);
+                    int64_t run = std::min(std::min(mw, mf), kn - k);
+                    const float* pw = swt + rw;
+                    const float* pf = sft + rf;
+                    for (int64_t q = 0; q < run; ++q) {  // vectorizable
+                        float sw = pw[(uint64_t)q * wn];
+                        float sf = pf[(uint64_t)q * fn];
+                        float mv = 1.0f + wd * sw + fd * sf;
+                        mv = mv < 0.1f ? 0.1f : (mv > 3.0f ? 3.0f : mv);
+                        float md = rintf(mv * POS_ONE_F) * POS_INV_F;
+                        float r1 = spd_f * md;
+                        incc[k + q] = (int32_t)rintf(r1 * POS_ONE_F);
+                    }
+                    k += run;
+                    rw = (uint32_t)((rw + (uint64_t)run * wn) % wm);
+                    rf = (uint32_t)((rf + (uint64_t)run * fn) % fm);
+                }
+            } else {
+                // direct per-sample fill (rare: gigantic periods)
+                uint32_t rw = (uint32_t)(((uint64_t)j0 * wn) % wm);
+                uint32_t rf = (uint32_t)(((uint64_t)j0 * fn) % fm);
+                for (int64_t k = 0; k < kn; ++k) {
+                    float sw = round_sig12f(sin_cycles_f(
+                        p0w + (float)(int32_t)rw * winv, S, C));
+                    float sf = round_sig12f(sin_cycles_f(
+                        p0f + (float)(int32_t)rf * finv, S, C));
+                    float mv = 1.0f + wd * sw + fd * sf;
+                    mv = mv < 0.1f ? 0.1f : (mv > 3.0f ? 3.0f : mv);
+                    float md = rintf(mv * POS_ONE_F) * POS_INV_F;
+                    incc[k] = (int32_t)rintf((spd_f * md) * POS_ONE_F);
+                    rw += wn; if (rw >= wm) rw -= wm;
+                    rf += fn; if (rf >= fm) rf -= fm;
+                }
+            }
+        };
+
+        while (i < T) {
+            w = ((w % n) + n) % n;
+            int64_t sec = upper_bound(starts, num_secs, w) - 1;
+            sec = std::max<int64_t>(0, std::min<int64_t>(sec, num_secs - 1));
+            int64_t sec_start = starts[sec];
+            int64_t sec_end = ends[sec] <= sec_start ? sec_start + 1
+                                                     : ends[sec];
+            float target = speeds_q[sec];
+            int64_t t_int = (int64_t)rint((double)target * (double)POS_ONE);
+            int64_t d_fix = (sec_end - w) * POS_ONE - f;
+
+            if (nv < cap) {
+                vis_start[nv] = i; vis_bw[nv] = w; vis_bf[nv] = f;
+                vis_sec[nv] = sec;
+            } else overflow = true;
+            ++nv;
+
+            // one constant run per visit, merged when it continues the
+            // previous constant run (same emission as the NumPy twin's
+            // inertia-off branch; the parity test compares the EXPANDED
+            // per-sample speeds, which match either way)
+            if (!(nr > 0 && nr <= cap && run_s0[std::min(nr, cap) - 1] == t_int
+                  && run_m[std::min(nr, cap) - 1] == 0)) {
+                if (nr < cap) {
+                    run_start[nr] = i; run_s0[nr] = t_int; run_m[nr] = 0;
+                } else overflow = true;
+                ++nr;
+            }
+            // exact same value chain as the scalar loop: spd_f is the
+            // exact power-of-two scale of t_int, inc rounds once
+            float spd_f = (float)((double)t_int * (double)POS_INV_F);
+
+            int64_t acc = 0;
+            int64_t j = i;
+            bool crossed = false;
+            int64_t jend = T;
+            while (j < T && !crossed) {
+                int64_t kn = std::min<int64_t>(65536, T - j);
+                fill_inc(j, kn, spd_f);
+                for (int64_t k = 0; k < kn; ++k) {   // sequential adds
+                    acc += (int64_t)incc[k];
+                    I[j + k] = acc;
+                    if (acc >= d_fix) { jend = j + k + 1; crossed = true;
+                                        break; }
+                }
+                if (!crossed) j += kn;
+            }
+            if (!crossed) jend = T;
+
+            if (splice_on && nb > 0) {
+                // boundaries reachable in this visit: idx0 stays inside
+                // [sec_start, sec_end).  Iterate them in TIME order so the
+                // greedy last_end suppression sees hits exactly as the
+                // per-sample loop would: forward sections hit increasing b,
+                // reverse sections hit DECREASING b.
+                int64_t b0 = lower_bound(boundaries, nb, sec_start);
+                int64_t b1 = lower_bound(boundaries, nb, sec_end);  // excl
+                uint8_t rev = reverse[sec];
+                for (int64_t step = 0; step < b1 - b0; ++step) {
+                    int64_t bi = rev ? (b1 - 1 - step) : (b0 + step);
+                    int64_t b = boundaries[bi];
+                    // whole-position window where idx0 can equal b
+                    int64_t Wlo, Wn;   // first whole value, window width
+                    if (rev) {
+                        Wlo = sec_start + (sec_end - 2 - b);
+                        Wn = 2;                    // a in {b+1, b}
+                        if (Wlo < w) { Wn -= (w - Wlo); Wlo = w; }
+                        if (Wn <= 0) continue;
+                    } else {
+                        if (b < w) continue;
+                        Wlo = b; Wn = 1;
+                    }
+                    // excl prefix range [lo, hi): excl_j = I[j-1] (0 at i)
+                    int64_t lo = (Wlo - w) * POS_ONE - f;
+                    int64_t hi = lo + Wn * POS_ONE;
+                    if (lo < 0) lo = 0;
+                    // first j in [i, jend) with excl_j >= lo:
+                    // excl_i = 0; excl_j = I[j-1] for j > i
+                    int64_t ja;
+                    if (lo <= 0) ja = i;
+                    else {
+                        // search I[i .. jend-2] for >= lo -> j = pos + 1
+                        int64_t klo = i, khi = jend - 1;  // I index range
+                        // lower_bound over I[klo..khi)
+                        int64_t cnt = khi - klo, first = klo;
+                        while (cnt > 0) {
+                            int64_t step = cnt / 2, mid = first + step;
+                            if (I[mid] < lo) { first = mid + 1;
+                                               cnt -= step + 1; }
+                            else cnt = step;
+                        }
+                        ja = first + 1;        // I[first] = excl_{first+1}
+                        if (first == khi) ja = jend;  // none
+                    }
+                    // exact per-sample rule inside the window
+                    for (int64_t jj = ja; jj < jend; ++jj) {
+                        int64_t excl = (jj == i) ? 0 : I[jj - 1];
+                        if (excl >= hi) break;
+                        int64_t fv = f + excl;
+                        int64_t carry = fv >> POS_FRAC_BITS;
+                        int64_t wj = w + carry;
+                        int64_t fj = fv - (carry << POS_FRAC_BITS);
+                        int64_t local_w = wj - sec_start;
+                        int64_t idx0;
+                        if (rev) {
+                            int64_t a = sec_end - 1 - local_w;
+                            idx0 = (fj > 0) ? (a == 0 ? 0 : a - 1) : a;
+                        } else {
+                            idx0 = sec_start + local_w;
+                        }
+                        idx0 = std::max<int64_t>(
+                            0, std::min<int64_t>(idx0, n - 1));
+                        if (idx0 == b && jj >= last_end) {
+                            if (nt < cap) trig[nt] = jj; else overflow = true;
+                            ++nt;
+                            last_end = jj + env_len;
+                        }
+                    }
+                }
+            }
+
+            int64_t fv = f + (crossed ? I[jend - 1] : acc);
+            int64_t carry = fv >> POS_FRAC_BITS;
+            w += carry;
+            f = fv - (carry << POS_FRAC_BITS);
+            s_int = t_int;
+            i = jend;
+        }
+        delete[] I;
+        delete[] incc;
+        delete[] swt;
+        delete[] sft;
+
+        int64_t splice_rem2 = 0, splice_idx2 = 0;
+        if (last_end > T) {
+            splice_rem2 = last_end - T;
+            splice_idx2 = env_len - splice_rem2;
+        }
+        counts[0] = nv; counts[1] = nr; counts[2] = nt;
+        final_state[0] = w;
+        final_state[1] = f;
+        final_state[2] = s_int;
+        final_state[3] = splice_rem2;
+        final_state[4] = splice_idx2;
+        return overflow ? 1 : 0;
+    }
+
     while (i < T) {
         w = ((w % n) + n) % n;
         int64_t sec = upper_bound(starts, num_secs, w) - 1;

@@ -334,3 +334,53 @@ def test_native_tables_equal_numpy(audio):
         assert np.array_equal(a[k], b[k]), k
     assert np.array_equal(expand(a, T), expand(b, T))
     assert a["final"] == b["final"]
+
+
+def test_native_tables_fast_path_equal_numpy(audio):
+    """The vectorized inertia-off C++ path (period-table mod synthesis,
+    chunked prefix crossing search, windowed splice-trigger search) must
+    match the NumPy twin exactly — including reverse sections, whose
+    boundary hits arrive in decreasing-index time order."""
+    from audio_suite_tpu.utils import native_rt
+    from audio_suite_tpu.ops import varispeed
+    if native_rt.get_lib() is None:
+        pytest.skip("no native toolchain")
+
+    def expand(tb, T):
+        rs = tb["run_start"].astype(np.int64)
+        s0 = tb["run_s0"].astype(np.int64)
+        m = tb["run_m"].astype(np.int64)
+        ii = np.arange(T, dtype=np.int64)
+        rid = np.searchsorted(rs, ii, side="right") - 1
+        return s0[rid] + m[rid] * (ii - rs[rid])
+
+    n = len(audio)
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        nm = int(rng.integers(1, 6))
+        markers = sorted(rng.choice(
+            np.arange(1000, n - 1000), nm, replace=False).tolist())
+        ns = nm + 1
+        p = tape.TapeParams(
+            markers=markers,
+            section_speeds=[float(rng.choice(
+                [0.25, 0.31, 0.5, 1.0, 1.7, 2.7, 4.0])) for _ in range(ns)],
+            section_reverse=[bool(rng.integers(0, 2)) for _ in range(ns)],
+            inertia_enabled=False,
+            tape_age=int(rng.integers(0, 101)),
+            enable_splice_fx=True, anticlick_enabled=True)
+        T = int(rng.integers(30000, 90000))
+        prog = tape.build_tape_program(audio, p, T)
+        a = native_rt.tape_tables(
+            T, n, prog["mod_consts"], prog["starts"], prog["ends"],
+            prog["speeds_q"], prog["reverse"], prog["boundaries"], 256,
+            prog["consts"])
+        b = varispeed.tape_tables(
+            n, prog["mod_q"], prog["starts"], prog["ends"],
+            prog["speeds_q"], prog["reverse"], prog["boundaries"], 256,
+            prog["consts"])
+        for k in ("visit_start", "visit_bw", "visit_bf", "visit_sec",
+                  "triggers"):
+            assert np.array_equal(a[k], b[k]), (trial, k)
+        assert np.array_equal(expand(a, T), expand(b, T)), trial
+        assert a["final"] == b["final"], trial
