@@ -156,8 +156,10 @@ def _fm_channel_tables(channels: list[FMVoiceParams], sr: int) -> dict:
 
 
 def fm_op_freqs(tab: dict, chans: np.ndarray, midis: np.ndarray) -> np.ndarray:
-    """Per-note per-op frequencies in Hz, f32 (single f64->f32 cast)."""
-    base = np.asarray([music.midi_to_hz(m) for m in midis], np.float64)
+    """Per-note per-op frequencies in Hz, f32 (single f64->f32 cast).
+    Vectorized midi->Hz (same f64 math as music.midi_to_hz — a per-note
+    Python loop here was a measurable slice of the render's host prep)."""
+    base = music.A4 * np.exp2((np.asarray(midis, np.float64) - 69.0) / 12.0)
     return (base[:, None] * tab["_ratio64"][chans]
             * tab["_det64"][chans]).astype(np.float32)
 
@@ -416,10 +418,12 @@ class MegaDriveInspiredSynth:
                     * np.float32(master_gain)).astype(np.float32)
 
         orbit, base, pos, clen = synth_ops.lfsr_tables()
-        # spec key (is_psg, L, alg, count): FM notes additionally bucket
-        # by algorithm so only ONE operator stack is traced per bucket —
-        # a dynamic `algorithm` forces all three stacks (9 transcendental
-        # op evaluations vs 4-5)
+        # spec key (is_psg, L, alg, vib, count): FM notes additionally
+        # bucket by algorithm AND by lfo_depth>0 so only ONE operator
+        # stack is traced per bucket — a dynamic `algorithm` forces all
+        # three stacks (9 transcendental op evaluations vs 4-5), and the
+        # vibrato chain (LFO sine + exp2's per-element table gather)
+        # vanishes entirely from vibrato-free buckets
         buckets = []
         for is_psg in (False, True):
             sel = np.nonzero(batch["is_psg"] == is_psg)[0]
@@ -432,13 +436,17 @@ class MegaDriveInspiredSynth:
                 if mL.size == 0:
                     continue
                 if is_psg:
-                    alg_groups = [(0, mL)]
+                    alg_groups = [(0, False, mL)]
                 else:
                     alg_all = self._fm_tab["algorithm"][batch["chan"][mL]]
-                    alg_groups = [(int(a), mL[alg_all == a])
-                                  for a in sorted(set(int(x)
-                                                      for x in alg_all))]
-                for alg, m in alg_groups:
+                    vib_all = (self._fm_tab["lfo_depth"][batch["chan"][mL]]
+                               > 0.0)
+                    alg_groups = [
+                        (int(a), bool(v),
+                         mL[(alg_all == a) & (vib_all == v)])
+                        for a in sorted(set(int(x) for x in alg_all))
+                        for v in (False, True)]
+                for alg, vib, m in alg_groups:
                     if m.size == 0:
                         continue
                     chan_b = batch["chan"][m]
@@ -450,9 +458,9 @@ class MegaDriveInspiredSynth:
                     if is_psg:
                         tab = self._psg_tab
                         args.update(
-                            hz=np.asarray([music.midi_to_hz(x)
-                                           for x in batch["midi"][m]],
-                                          np.float32),
+                            hz=(music.A4 * np.exp2(
+                                (np.asarray(batch["midi"][m], np.float64)
+                                 - 69.0) / 12.0)).astype(np.float32),
                             seeds=(self.seed + batch["k"][m])
                             .astype(np.int32),
                             duty=tab["duty"][chan_b],
@@ -468,7 +476,8 @@ class MegaDriveInspiredSynth:
                             cp={k: tab[k][chan_b] for k in tab
                                 if not k.startswith("_")})
                     buckets.append(
-                        ((bool(is_psg), int(L), int(alg), int(len(m))),
+                        ((bool(is_psg), int(L), int(alg), bool(vib),
+                          int(len(m))),
                          args))
 
         spec = tuple(b[0] for b in buckets)
@@ -496,16 +505,16 @@ def _render_dispatch(sr: int, fade: int, lp1: float, lp2: float,
         # clamping (starts < n_total; tail contributions are pre-masked),
         # so overlap-add runs as sequential window DUS updates instead of
         # an element scatter (39x faster on v5e for the bench batch)
-        l_max = max([L for (_is_psg, L, _a, _c) in spec] + [1])
+        l_max = max([L for (_is_psg, L, _a, _v, _c) in spec] + [1])
         out = jnp.zeros(n_total + l_max, jnp.float32)
-        for (is_psg, L, alg, _count), a in zip(spec, bucket_args):
+        for (is_psg, L, alg, vib, _count), a in zip(spec, bucket_args):
             i_vec = jnp.arange(L, dtype=jnp.int32)
             if is_psg:
                 notes = jax.vmap(
                     lambda n, hz, vel, duty, noi, A, D, R, s, lm1, ilm1, sd:
                     synth_ops.psg_note(
                         i_vec, n, hz, vel, duty, noi, A, D, R, s, lm1, ilm1,
-                        fade, jnp.float32(psg_lp), sd,
+                        fade, psg_lp, sd,
                         orbit, base, pos, clen, sr))(
                     a["n"], a["hz"], a["vel"], a["duty"], a["noise"],
                     a["A"], a["D"], a["R"], a["s"], a["lm1"], a["inv_lm1"],
@@ -515,9 +524,10 @@ def _render_dispatch(sr: int, fade: int, lp1: float, lp2: float,
                 notes = jax.vmap(
                     lambda n, fo, vel, cpn:
                     synth_ops.fm_note(
-                        i_vec, n, fo, vel, cpn, fade, jnp.float32(lp1),
-                        jnp.float32(lp2), jnp.float32(dac_m1),
-                        jnp.float32(inv_dac), sr, alg_static=alg))(
+                        i_vec, n, fo, vel, cpn, fade, lp1, lp2,
+                        jnp.float32(dac_m1),
+                        jnp.float32(inv_dac), sr, alg_static=alg,
+                        vib_static=vib))(
                     a["n"], a["f_ops"], a["vel"], a["cp"])
             # overlap-add with tail clamp (app/renderer.py:113-131)
             seg = jnp.minimum(a["n"], n_total - a["start"])

@@ -46,18 +46,45 @@ def quantize_to_bits(x, levels_minus_1, inv_levels_m1):
 # ----------------------------------------------------------------------------
 
 def one_pole_lp(x, a):
-    """y[t] = a*y[t-1] + (1-a)*x[t], y[-1] = 0 — as a parallel prefix over
-    the affine maps y -> a*y + b (synth_fm.py:115-124)."""
-    a = jnp.float32(a)
-    b = (jnp.float32(1.0) - a) * x
-    A = jnp.full_like(x, a)
+    """y[t] = a*y[t-1] + (1-a)*x[t], y[-1] = 0 (synth_fm.py:115-124).
 
-    def combine(l, r):
-        al, bl = l
-        ar, br = r
-        return al * ar, ar * bl + br
+    For the audio-rate cutoffs used by the synth (12-14 kHz -> a <= ~0.19)
+    the impulse response (1-a)*a^k underflows one f32 ulp RELATIVE within
+    ~13 taps, so the IIR is evaluated as a truncated FIR of K static
+    shifted adds, K = first k with a^k < 2^-31 (truncation ~-190 dB,
+    far under the -60 dBFS oracle budget; association differs from the
+    sequential loop by output ulps).  This replaces a log-depth
+    associative scan whose slice/pad ladder cost more device time than
+    the entire voice math on v5e.  Falls back to the scan when a is too
+    close to 1 for a short kernel (K would exceed 64)."""
+    try:
+        af = float(np.float32(a))   # requires a static (untraced) coefficient
+        K, p = 1, af
+        while p >= 2.0 ** -31 and K < 64:
+            p *= af
+            K += 1
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        K = 64                       # traced coefficient -> scan path
+        af = None
+    if K >= 64:
+        a = jnp.float32(a)
+        b = (jnp.float32(1.0) - a) * x
+        A = jnp.full_like(x, a)
 
-    _, y = jax.lax.associative_scan(combine, (A, b), axis=-1)
+        def combine(l, r):
+            al, bl = l
+            ar, br = r
+            return al * ar, ar * bl + br
+
+        _, y = jax.lax.associative_scan(combine, (A, b), axis=-1)
+        return y
+    w = ((1.0 - np.float64(af)) * np.float64(af) ** np.arange(K)) \
+        .astype(np.float32)
+    y = jnp.float32(w[0]) * x
+    pad = [(0, 0)] * (x.ndim - 1)
+    for k in range(1, K):
+        xk = jnp.pad(x, pad + [(k, 0)])[..., :-k]
+        y = y + jnp.float32(w[k]) * xk
     return y
 
 
@@ -151,7 +178,8 @@ def psg_note(i, n, hz, vel, duty, use_noise, A, D, R, s, levels_m1,
 # ----------------------------------------------------------------------------
 
 def fm_note(i, n, f_ops, vel, chan_params, fade_samples, lp_a1, lp_a2,
-            dac_levels_m1, inv_dac_levels_m1, sr, alg_static=None):
+            dac_levels_m1, inv_dac_levels_m1, sr, alg_static=None,
+            vib_static=None):
     """One 4-operator FM note over padded indices i[L].
 
     alg_static: when the caller buckets notes by algorithm (static), only
@@ -159,6 +187,12 @@ def fm_note(i, n, f_ops, vel, chan_params, fade_samples, lp_a1, lp_a2,
     evaluation costs ~2x the transcendental work (9 op evaluations vs
     4-5).  None keeps the branchless path (callers with mixed algorithms
     in one batch, e.g. the dryrun's event-sharded job batch).
+
+    vib_static: when the caller additionally buckets by lfo_depth > 0,
+    False skips the vibrato chain entirely (the LFO sine + the exp2 —
+    whose 33-entry table gather costs per-element on TPU — vanish from
+    the trace; values identical to the where(has_vib=False) select) and
+    True applies it unconditionally.  None keeps the dynamic select.
 
     f_ops: f32[4] per-op frequencies in Hz (host-precomputed
       base * ratio * 2**(cents/1200), single f64->f32 cast).
@@ -180,16 +214,21 @@ def fm_note(i, n, f_ops, vel, chan_params, fade_samples, lp_a1, lp_a2,
     """
     t = i.astype(jnp.float32) * jnp.float32(1.0 / float(sr))
 
-    lfo_depth = chan_params["lfo_depth"]
-    vib = detmath.sin_cycles(chan_params["lfo_hz"] * t)
-    vib_ratio = detmath.exp2((lfo_depth * vib) * jnp.float32(1.0 / 12.0))
-    has_vib = lfo_depth > 0.0
+    if vib_static is None or vib_static:
+        lfo_depth = chan_params["lfo_depth"]
+        vib = detmath.sin_cycles(chan_params["lfo_hz"] * t)
+        vib_ratio = detmath.exp2((lfo_depth * vib)
+                                 * jnp.float32(1.0 / 12.0))
+        has_vib = (lfo_depth > 0.0) if vib_static is None else True
 
     def op_sig(k, pm_cyc):
         # carrier cycles, reduced before adding the (small) PM term so the
         # product can't contract with the add into an FMA
         c = f_ops[k] * t
-        c = jnp.where(has_vib, c * vib_ratio, c)
+        if vib_static is None:
+            c = jnp.where(has_vib, c * vib_ratio, c)
+        elif vib_static:
+            c = c * vib_ratio
         r0 = detmath.frac_signed(c)
         if pm_cyc is not None:
             r0 = r0 + pm_cyc
