@@ -458,6 +458,7 @@ class _TrackMeta:
     win: int             # RMS window (samples)
     a_q12: int           # mod amount in 2**-12 units (envdet.amount_q12)
     gain: float          # linear gain, exact f32 value
+    n_resets: int = 0    # static reset count (0 = skip the reset window)
 
 
 @dataclass(frozen=True)
@@ -546,9 +547,17 @@ def _mix_body(meta: _MixMeta):
                                               n_valid)
                 # the flat bank is gain-premultiplied on the host: a device
                 # `gather*gain + mix` would FMA-contract and diverge from
-                # the host twin by 1 ulp
-                placed = jnp.where(valid, flat_pat[tm.base + idx],
-                                   jnp.float32(0.0))
+                # the host twin by 1 ulp.  The read itself is the blockwise
+                # one-hot MXU kernel (bit-identical to the element gather,
+                # which costs ~8 ns/element on TPU — it was ~85% of the
+                # whole mixdown): speeds are clipped to [0.25, 4] by
+                # envdet, so span=4 bounds every block's window.
+                pat = jax.lax.slice(flat_pat, (tm.base,),
+                                    (tm.base + tm.pat_n,))
+                read = fixq.gather_int_block_onehot(
+                    pat, idx, wrap=bool(tm.loop),
+                    zero_cover=tm.n_resets > 0)
+                placed = jnp.where(valid, read, jnp.float32(0.0))
             if ti in mod_srcs:
                 placed_cache[ti] = placed
             mix = mix + placed                 # pinned track order
@@ -668,9 +677,19 @@ def _bank_device_cached(flat_pat: np.ndarray):
     return dev
 
 
-def _device_mixdown(n_total: int, rows: list, device_out: bool = False,
-                    pcm16: bool = False):
-    """Device engine: flat pattern bank + reset tables -> one jit call."""
+@dataclass(frozen=True)
+class _PreparedMix:
+    """Host pre-pass product for the device engine: static meta + the
+    device-resident bank + reset tables.  Build once (prepare_device_mix),
+    re-dispatch many times — the bank concat/pad/content-hash cost ~6 ms
+    per call for the 4-track bench project, dwarfing the kernel itself."""
+    meta: "_MixMeta"
+    flat_pat: object      # device array (bank, gain-premultiplied)
+    resets: object        # int32 [n_tracks, r_cap]
+
+
+def prepare_device_mix(n_total: int, rows: list,
+                       pcm16: bool = False) -> _PreparedMix:
     n_pad = -(-max(1, n_total) // MIX_PAD) * MIX_PAD
     bases, flat, metas = [], [], []
     off = 0
@@ -697,9 +716,17 @@ def _device_mixdown(n_total: int, rows: list, device_out: bool = False,
             pat_n=len(row["pat"]), base=bases[ti],
             start_idx=row["start_idx"], loop=row["loop"],
             mod_src=row["mod_src"], win=row["win"], a_q12=row["a_q12"],
-            gain=row["gain"]))
+            gain=row["gain"], n_resets=len(row["resets"])))
     meta = _MixMeta(n_pad=n_pad, tracks=tuple(metas), pcm16=pcm16)
-    y = _mix_fn(meta)(flat_pat, resets, np.int32(n_total))
+    return _PreparedMix(meta=meta, flat_pat=flat_pat, resets=resets)
+
+
+def _device_mixdown(n_total: int, rows: list, device_out: bool = False,
+                    pcm16: bool = False, prepared: _PreparedMix = None):
+    """Device engine: flat pattern bank + reset tables -> one jit call."""
+    prep = prepared if prepared is not None \
+        else prepare_device_mix(n_total, rows, pcm16)
+    y = _mix_fn(prep.meta)(prep.flat_pat, prep.resets, np.int32(n_total))
     if device_out:
         return y          # padded to n_pad (zero tail); compute-only use
     return chunked_pull(y, n_total)

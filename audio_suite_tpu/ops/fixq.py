@@ -249,6 +249,96 @@ def segmented_pos_cumsum_np(inc, reset, init_whole=0, init_frac=0):
 
 
 # ----------------------------------------------------------------------------
+# Integer gather for near-monotonic positions (blockwise one-hot MXU read)
+# ----------------------------------------------------------------------------
+
+def gather_int_block_onehot(pat, idx, wrap: bool, span: int = 4,
+                            B: int = 128, chunk: int = 512,
+                            zero_cover: bool = True):
+    """``pat[idx]`` for positions that advance by at most ``span`` per
+    sample, as blockwise one-hot MXU matmuls instead of an element gather
+    (TPU gathers cost ~8 ns/element; Grid Audio's mixdown reads 786 k
+    positions per track, grid_audio_app.py:806-810).
+
+    Each ``B``-sample output block reads a contiguous window of ``pat``
+    anchored at its first position rounded DOWN to a multiple of B: the
+    window fetch is then one lane-aligned row gather for all blocks at
+    once, hoisted out of the chunk loop (per-anchor dynamic slices inside
+    the loop serialized into ~1 ms/track on v5e).  A one-hot row per
+    output selects its element, so the result is BIT-IDENTICAL to the
+    direct gather (one nonzero product per row).  Positions that jump
+    backwards mid-block (Grid's phase resets land at 0 at arbitrary
+    sample indices) fall outside that window and are claimed by a second
+    window anchored at 0 — exclusive with the main window, so no row is
+    ever double-counted; pass ``zero_cover=False`` to skip it for
+    reset-free tracks.  Rows covered by neither (only positions a caller
+    already masks invalid) read as 0.
+
+    idx: int32 [T] in [0, n); T must be a multiple of B.
+    """
+    n = pat.shape[0]
+    T = idx.shape[0]
+    # aligned anchor wastes < B at the front: advance (span*(B-1)) plus
+    # alignment slack, rounded up to whole B-rows
+    WR = span + 2
+    W = WR * B
+    K = T // B
+    KC = -(-K // chunk) * chunk
+
+    idx2 = idx.reshape(K, B)
+    if KC > K:
+        idx2 = jnp.concatenate(
+            [idx2, jnp.zeros((KC - K, B), idx2.dtype)])
+    anchor = (idx2[:, 0] // B) * B
+    if wrap:
+        local = jnp.mod(idx2 - anchor[:, None], n)
+    else:
+        local = idx2 - anchor[:, None]
+
+    # extension so every [anchor, anchor+W) window is in bounds; wrap
+    # reads tile the pattern, clip reads pad with zeros.  Length rounded
+    # to whole B-rows for the aligned row gather.
+    ext_len = -(-(n + W) // B) * B
+    if wrap:
+        reps = -(-ext_len // n)
+        ext = jnp.concatenate([pat] * max(2, reps))[:ext_len]
+    else:
+        ext = jnp.concatenate(
+            [pat, jnp.zeros(ext_len - n, pat.dtype)])
+    zero_win = ext[:W] if wrap else \
+        jnp.concatenate([pat, jnp.zeros(W, pat.dtype)])[:W]
+    # one aligned row gather for every block's window: [K, WR, B] -> [K, W]
+    ext2d = ext.reshape(ext_len // B, B)
+    rows = anchor // B
+    win_all = jnp.take(ext2d, rows[:, None]
+                       + jnp.arange(WR, dtype=jnp.int32)[None, :],
+                       axis=0).reshape(KC, W)
+
+    widx = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+
+    def do_chunk(_, c):
+        loc = jax.lax.dynamic_slice_in_dim(local, c * chunk, chunk, 0)
+        main = (loc >= 0) & (loc < W)   # clip-mode resets make loc negative
+        oh = ((widx == loc[:, :, None]) & main[:, :, None]) \
+            .astype(jnp.float32)
+        win = jax.lax.dynamic_slice_in_dim(win_all, c * chunk, chunk, 0)
+        y = jnp.einsum("kbw,kw->kb", oh, win,
+                       precision=jax.lax.Precision.HIGHEST)
+        if zero_cover:
+            # reset landing zone: rows the main window missed, position < W
+            ix = jax.lax.dynamic_slice_in_dim(idx2, c * chunk, chunk, 0)
+            oh0 = ((widx == ix[:, :, None]) & (~main)[:, :, None]) \
+                .astype(jnp.float32)
+            y = y + jnp.einsum("kbw,w->kb", oh0, zero_win,
+                               precision=jax.lax.Precision.HIGHEST)
+        return None, y
+
+    _, ys = jax.lax.scan(do_chunk, None,
+                         jnp.arange(KC // chunk, dtype=jnp.int32))
+    return ys.reshape(-1)[:T]
+
+
+# ----------------------------------------------------------------------------
 # Fractional gather (linear interpolation, optional wraparound)
 # ----------------------------------------------------------------------------
 

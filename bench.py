@@ -376,10 +376,13 @@ def bench_grid_forestfire(extras):
 
     wall = _time_best(run, repeats=2, check=out)
 
-    # compute-only: prebuilt program, device-resident mixdown
+    # compute-only: prebuilt program (bank resident on device), one-call
+    # mixdown kernel
     n_total, rows = grid._build_mix_program(project)
+    prep = grid.prepare_device_mix(n_total, rows)
     extras["rtf_grid_compute"] = round(seconds / _time_device(
-        lambda: grid._device_mixdown(n_total, rows, device_out=True)), 2)
+        lambda: grid._device_mixdown(n_total, rows, device_out=True,
+                                     prepared=prep)), 2)
     return seconds / wall
 
 
