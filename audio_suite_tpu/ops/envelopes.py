@@ -93,22 +93,35 @@ def make_adsr(n: int, sr: int, a_ms: float, d_ms: float, s: float,
     s = float(np.clip(s, 0, 1))
     curve = float(max(1e-6, curve))
 
-    i = jnp.arange(n, dtype=jnp.float32)
-    env = jnp.ones(n, dtype=jnp.float32)
+    # each ramp's pow (= exp/log pair) is evaluated on its OWN segment
+    # only, then the segments concatenate — the A/D/R spans are a few ms
+    # while n is minutes, and three full-length pow passes dominated the
+    # whole FX chain.  Values are bit-identical to the masked full-length
+    # form: f32 represents the integer indices < 2**24 exactly, so the
+    # per-segment (i - pos) subtraction loses nothing.
     pos = 0
+    parts = []
     if A > 0:
-        a_ramp = (i / jnp.float32(A)) ** curve
-        env = jnp.where(i < A, a_ramp, env)
-        pos = A
+        seg = min(A, n)
+        ia = jnp.arange(seg, dtype=jnp.float32)
+        parts.append((ia / jnp.float32(A)) ** curve)
+        pos = min(A, n)
     j = min(n, pos + D)
     if D > 0 and j > pos:
-        d_ramp = ((i - pos) / jnp.float32(j - pos)) ** curve
-        env = jnp.where((i >= pos) & (i < j), 1.0 - (1.0 - s) * d_ramp, env)
+        idd = jnp.arange(j - pos, dtype=jnp.float32)
+        parts.append(1.0 - (1.0 - s) * (idd / jnp.float32(j - pos)) ** curve)
     sus_start = j
     sus_end = max(sus_start, n - R)
     if sus_end > sus_start:
-        env = jnp.where((i >= sus_start) & (i < sus_end), s, env)
+        parts.append(jnp.full(sus_end - sus_start, s, jnp.float32))
     if R > 0 and n > sus_end:
-        r_ramp = ((i - sus_end) / jnp.float32(max(1, n - 1 - sus_end))) ** curve
-        env = jnp.where(i >= sus_end, s * (1.0 - r_ramp), env)
-    return env
+        ir_ = jnp.arange(n - sus_end, dtype=jnp.float32)
+        r_ramp = (ir_ / jnp.float32(max(1, n - 1 - sus_end))) ** curve
+        parts.append(jnp.float32(s) * (1.0 - r_ramp))
+    if not parts:
+        return jnp.ones(n, dtype=jnp.float32)
+    env = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    if env.shape[0] < n:        # A+D+sus+R can undershoot when D spills
+        env = jnp.concatenate(
+            [env, jnp.ones(n - env.shape[0], jnp.float32)])
+    return env[:n]
