@@ -404,92 +404,149 @@ class MegaDriveInspiredSynth:
         self.psg_channels[int(i) % 4] = params
         self._psg_tab = _psg_channel_tables(self.psg_channels, self.sr)
 
+    def prepare(self, events, seconds: float) -> "PreparedRender":
+        """Host pre-pass: clamp/bucket the note batch and pack every
+        per-note argument into FOUR dtype-wide matrices (one f32 + one
+        int32 pack per engine family).  The packed form exists because the
+        per-bucket dict-of-arrays layout shipped ~170 host arrays per
+        dispatch — at ~40 us per DevicePut that cost more than the voice
+        math itself.  Buckets are contiguous row ranges of the packs.
+
+        Bucket key (is_psg, L, alg, vib): FM notes bucket by algorithm AND
+        by lfo_depth>0 so only ONE operator stack is traced per bucket —
+        a dynamic `algorithm` forces all three stacks (9 transcendental
+        op evaluations vs 4-5), and the vibrato chain vanishes entirely
+        from vibrato-free buckets."""
+        cfg = RenderConfig(sample_rate=self.sr, seconds=seconds,
+                           seed=self.seed)
+        batch = prepare_note_batch(events, cfg)
+        n_total = batch["n_total"]
+        if batch["count"] == 0:
+            return PreparedRender(n_total=n_total, spec=(), packs={})
+
+        n = batch["n"]
+        is_psg = batch["is_psg"]
+        # vectorized _bucket_len: smallest power of two >= n, min 256
+        Ls = (1 << np.ceil(np.log2(np.maximum(n, 1))).astype(np.int64)) \
+            .astype(np.int64)
+        Ls = np.maximum(256, Ls)
+        chan = batch["chan"]
+        alg = np.where(is_psg, 0, self._fm_tab["algorithm"][chan % 6])
+        vib = np.where(is_psg, False,
+                       self._fm_tab["lfo_depth"][chan % 6] > 0.0)
+        # sort notes into bucket order (is_psg slowest -> L -> alg -> vib),
+        # stable so within-bucket note order is the event order
+        order = np.lexsort((vib, alg, Ls, is_psg.astype(np.int8)))
+        key = np.stack([is_psg[order].astype(np.int64), Ls[order],
+                        alg[order].astype(np.int64),
+                        vib[order].astype(np.int64)], axis=1)
+        change = np.nonzero(np.any(key[1:] != key[:-1], axis=1))[0] + 1
+        starts_g = np.concatenate([[0], change, [len(order)]])
+
+        spec = []
+        for gi in range(len(starts_g) - 1):
+            o = int(starts_g[gi])
+            cnt = int(starts_g[gi + 1]) - o
+            spec.append((bool(key[o, 0]), int(key[o, 1]), int(key[o, 2]),
+                         bool(key[o, 3]), cnt))
+        spec = tuple(spec)
+
+        fm_rows = order[~is_psg[order]]
+        pg_rows = order[is_psg[order]]
+        packs = {}
+        if fm_rows.size:
+            tab = self._fm_tab
+            ch = chan[fm_rows] % 6
+            f32 = np.empty((fm_rows.size, 20), np.float32)
+            f32[:, 0] = batch["vel"][fm_rows]
+            f32[:, 1:5] = fm_op_freqs(tab, ch, batch["midi"][fm_rows])
+            f32[:, 5:9] = tab["level"][ch]
+            f32[:, 9:13] = tab["index_cyc"][ch]
+            f32[:, 13:17] = tab["s"][ch]
+            f32[:, 17] = tab["feedback"][ch]
+            f32[:, 18] = tab["lfo_hz"][ch]
+            f32[:, 19] = tab["lfo_depth"][ch]
+            i32 = np.empty((fm_rows.size, 14), np.int32)
+            i32[:, 0] = batch["n"][fm_rows]
+            i32[:, 1] = batch["start"][fm_rows]
+            i32[:, 2:6] = tab["A"][ch]
+            i32[:, 6:10] = tab["D"][ch]
+            i32[:, 10:14] = tab["R"][ch]
+            packs["fm32"], packs["fmi"] = f32, i32
+        if pg_rows.size:
+            tab = self._psg_tab
+            ch = chan[pg_rows] % 4
+            f32 = np.empty((pg_rows.size, 6), np.float32)
+            f32[:, 0] = (music.A4 * np.exp2(
+                (np.asarray(batch["midi"][pg_rows], np.float64) - 69.0)
+                / 12.0)).astype(np.float32)
+            f32[:, 1] = batch["vel"][pg_rows]
+            f32[:, 2] = tab["duty"][ch]
+            f32[:, 3] = tab["s"][ch]
+            f32[:, 4] = tab["levels_m1"][ch]
+            f32[:, 5] = tab["inv_levels_m1"][ch]
+            i32 = np.empty((pg_rows.size, 7), np.int32)
+            i32[:, 0] = batch["n"][pg_rows]
+            i32[:, 1] = batch["start"][pg_rows]
+            i32[:, 2] = tab["A"][ch]
+            i32[:, 3] = tab["D"][ch]
+            i32[:, 4] = tab["R"][ch]
+            i32[:, 5] = (self.seed + batch["k"][pg_rows]).astype(np.int32)
+            i32[:, 6] = tab["noise"][ch].astype(np.int32)
+            packs["pg32"], packs["pgi"] = f32, i32
+        # device-resident packs: re-dispatching the same program ships
+        # nothing but the jit call itself
+        packs = {k: jax.device_put(v) for k, v in packs.items()}
+        return PreparedRender(n_total=n_total, spec=spec, packs=packs)
+
+    def render_prepared(self, prep: "PreparedRender",
+                        master_gain: float = 0.9,
+                        device_out: bool = False,
+                        pcm16: bool = False):
+        """Dispatch a prepared program: one jit call, four array uploads."""
+        if not prep.spec:
+            y = (np.tanh(np.zeros(prep.n_total, np.float32))
+                 * np.float32(master_gain)).astype(np.float32)
+            if pcm16:
+                y = np.clip(np.round(y * 32768.0), -32768.0,
+                            32767.0).astype(np.int16)
+            return y
+        orbit, base, pos, clen = _lfsr_tables_dev()
+        fn = _render_dispatch(self.sr, self._fade, float(self._lp1),
+                              float(self._lp2), float(self._psg_lp),
+                              float(self._dac_m1), prep.n_total, prep.spec,
+                              bool(pcm16))
+        y = fn(prep.packs, np.float32(master_gain), orbit, base, pos, clen)
+        if device_out:
+            return y
+        return chunked_pull(y)        # int16 when pcm16, else float32
+
     def render(self, events, seconds: float, master_gain: float = 0.9,
                device_out: bool = False, pcm16: bool = False) -> np.ndarray:
         """One jit-compiled dispatch for the whole note batch: buckets are
         resolved at trace time (static shapes), all NumPy inputs transfer
         bundled with the single call — the per-op eager path costs a full
         tunnel roundtrip (~26 ms) per primitive on remote TPUs."""
-        cfg = RenderConfig(sample_rate=self.sr, seconds=seconds, seed=self.seed)
-        batch = prepare_note_batch(events, cfg)
-        n_total = batch["n_total"]
-        if batch["count"] == 0:
-            return (np.tanh(np.zeros(n_total, np.float32))
-                    * np.float32(master_gain)).astype(np.float32)
+        prep = self.prepare(events, seconds)
+        return self.render_prepared(prep, master_gain=master_gain,
+                                    device_out=device_out, pcm16=pcm16)
 
-        orbit, base, pos, clen = synth_ops.lfsr_tables()
-        # spec key (is_psg, L, alg, vib, count): FM notes additionally
-        # bucket by algorithm AND by lfo_depth>0 so only ONE operator
-        # stack is traced per bucket — a dynamic `algorithm` forces all
-        # three stacks (9 transcendental op evaluations vs 4-5), and the
-        # vibrato chain (LFO sine + exp2's per-element table gather)
-        # vanishes entirely from vibrato-free buckets
-        buckets = []
-        for is_psg in (False, True):
-            sel = np.nonzero(batch["is_psg"] == is_psg)[0]
-            if sel.size == 0:
-                continue
-            ns = batch["n"][sel]
-            for L in sorted(set(_bucket_len(int(x)) for x in ns)):
-                mL = sel[(ns <= L) & (ns > L // 2)] if L > 256 else \
-                    sel[ns <= 256]
-                if mL.size == 0:
-                    continue
-                if is_psg:
-                    alg_groups = [(0, False, mL)]
-                else:
-                    alg_all = self._fm_tab["algorithm"][batch["chan"][mL]]
-                    vib_all = (self._fm_tab["lfo_depth"][batch["chan"][mL]]
-                               > 0.0)
-                    alg_groups = [
-                        (int(a), bool(v),
-                         mL[(alg_all == a) & (vib_all == v)])
-                        for a in sorted(set(int(x) for x in alg_all))
-                        for v in (False, True)]
-                for alg, vib, m in alg_groups:
-                    if m.size == 0:
-                        continue
-                    chan_b = batch["chan"][m]
-                    args = {
-                        "n": batch["n"][m],
-                        "vel": batch["vel"][m],
-                        "start": batch["start"][m],
-                    }
-                    if is_psg:
-                        tab = self._psg_tab
-                        args.update(
-                            hz=(music.A4 * np.exp2(
-                                (np.asarray(batch["midi"][m], np.float64)
-                                 - 69.0) / 12.0)).astype(np.float32),
-                            seeds=(self.seed + batch["k"][m])
-                            .astype(np.int32),
-                            duty=tab["duty"][chan_b],
-                            noise=tab["noise"][chan_b],
-                            A=tab["A"][chan_b], D=tab["D"][chan_b],
-                            R=tab["R"][chan_b], s=tab["s"][chan_b],
-                            lm1=tab["levels_m1"][chan_b],
-                            inv_lm1=tab["inv_levels_m1"][chan_b])
-                    else:
-                        tab = self._fm_tab
-                        args.update(
-                            f_ops=fm_op_freqs(tab, chan_b, batch["midi"][m]),
-                            cp={k: tab[k][chan_b] for k in tab
-                                if not k.startswith("_")})
-                    buckets.append(
-                        ((bool(is_psg), int(L), int(alg), bool(vib),
-                          int(len(m))),
-                         args))
 
-        spec = tuple(b[0] for b in buckets)
-        fn = _render_dispatch(self.sr, self._fade, float(self._lp1),
-                              float(self._lp2), float(self._psg_lp),
-                              float(self._dac_m1), n_total, spec,
-                              bool(pcm16))
-        y = fn([b[1] for b in buckets], np.float32(master_gain),
-               orbit, base, pos, clen)
-        if device_out:
-            return y
-        return chunked_pull(y)        # int16 when pcm16, else float32
+@lru_cache(maxsize=1)
+def _lfsr_tables_dev():
+    """LFSR orbit tables resident on device — passing the host arrays to
+    the jit re-uploaded ~512 KB per dispatch."""
+    return tuple(jax.device_put(a) for a in synth_ops.lfsr_tables())
+
+
+@dataclass(frozen=True)
+class PreparedRender:
+    """Host pre-pass product: static bucket spec + packed note matrices.
+    Prepare once, dispatch many — the live tweak-and-listen loop repays
+    only the stages its edit invalidates."""
+    n_total: int
+    spec: tuple           # ((is_psg, L, alg, vib, count), ...) row-ordered
+    packs: dict           # fm32 [Nfm,20] / fmi [Nfm,14] / pg32 / pgi
 
 
 @lru_cache(maxsize=64)
@@ -497,29 +554,45 @@ def _render_dispatch(sr: int, fade: int, lp1: float, lp2: float,
                      psg_lp: float, dac_m1: float, n_total: int,
                      spec: tuple, pcm16: bool = False):
     """Jitted whole-batch renderer for a static bucket spec
-    ((is_psg, L, count), ...): every bucket's vmapped voice bank + the
-    overlap-add scatter + the tanh master bus, traced as ONE computation."""
+    ((is_psg, L, alg, vib, count), ...): every bucket's vmapped voice
+    bank + the overlap-add + the tanh master bus, traced as ONE
+    computation over the four packed matrices (bucket = static row
+    range; column layout documented in prepare())."""
 
-    def run(bucket_args, master_gain, orbit, base, pos, clen):
+    def run(packs, master_gain, orbit, base, pos, clen):
         # margin buffer: every note window [start, start+L) fits without
         # clamping (starts < n_total; tail contributions are pre-masked),
         # so overlap-add runs as sequential window DUS updates instead of
         # an element scatter (39x faster on v5e for the bench batch)
         l_max = max([L for (_is_psg, L, _a, _v, _c) in spec] + [1])
         out = jnp.zeros(n_total + l_max, jnp.float32)
-        for (is_psg, L, alg, vib, _count), a in zip(spec, bucket_args):
+        fm_off = pg_off = 0
+        for (is_psg, L, alg, vib, count) in spec:
             i_vec = jnp.arange(L, dtype=jnp.int32)
             if is_psg:
+                f32 = packs["pg32"][pg_off: pg_off + count]
+                i32 = packs["pgi"][pg_off: pg_off + count]
+                pg_off += count
+                ns, starts = i32[:, 0], i32[:, 1]
                 notes = jax.vmap(
                     lambda n, hz, vel, duty, noi, A, D, R, s, lm1, ilm1, sd:
                     synth_ops.psg_note(
                         i_vec, n, hz, vel, duty, noi, A, D, R, s, lm1, ilm1,
                         fade, psg_lp, sd,
                         orbit, base, pos, clen, sr))(
-                    a["n"], a["hz"], a["vel"], a["duty"], a["noise"],
-                    a["A"], a["D"], a["R"], a["s"], a["lm1"], a["inv_lm1"],
-                    a["seeds"])
+                    ns, f32[:, 0], f32[:, 1], f32[:, 2], i32[:, 6] != 0,
+                    i32[:, 2], i32[:, 3], i32[:, 4], f32[:, 3], f32[:, 4],
+                    f32[:, 5], i32[:, 5])
             else:
+                f32 = packs["fm32"][fm_off: fm_off + count]
+                i32 = packs["fmi"][fm_off: fm_off + count]
+                fm_off += count
+                ns, starts = i32[:, 0], i32[:, 1]
+                cp = {"level": f32[:, 5:9], "index_cyc": f32[:, 9:13],
+                      "s": f32[:, 13:17], "feedback": f32[:, 17],
+                      "lfo_hz": f32[:, 18], "lfo_depth": f32[:, 19],
+                      "A": i32[:, 2:6], "D": i32[:, 6:10],
+                      "R": i32[:, 10:14]}
                 inv_dac = float(np.float32(1.0 / float(dac_m1)))
                 notes = jax.vmap(
                     lambda n, fo, vel, cpn:
@@ -528,11 +601,11 @@ def _render_dispatch(sr: int, fade: int, lp1: float, lp2: float,
                         jnp.float32(dac_m1),
                         jnp.float32(inv_dac), sr, alg_static=alg,
                         vib_static=vib))(
-                    a["n"], a["f_ops"], a["vel"], a["cp"])
+                    ns, f32[:, 1:5], f32[:, 0], cp)
             # overlap-add with tail clamp (app/renderer.py:113-131)
-            seg = jnp.minimum(a["n"], n_total - a["start"])
+            seg = jnp.minimum(ns, n_total - starts)
             contrib = jnp.where(i_vec[None, :] < seg[:, None], notes, 0.0)
-            out = pallas_oa.overlap_add_dus(out, contrib, a["start"])
+            out = pallas_oa.overlap_add_dus(out, contrib, starts)
         y = jnp.tanh(out[:n_total]) * master_gain
         if pcm16:
             # PCM16 device conversion (reference saves PCM_16 WAVs —

@@ -34,13 +34,12 @@ _C = [(_TWO_PI ** (2 * k)) / math.factorial(2 * k) * (-1) ** k
 _S32 = [np.float32(c) for c in _S]
 _C32 = [np.float32(c) for c in _C]
 
-# exp2 table: 2**(j/32) for j in [-16, 16]
-_EXP2_TABLE = np.asarray([2.0 ** (j / 32.0) for j in range(-16, 17)],
-                         np.float32)
+# exp2 polynomial: 2**r on |r| <= 0.5 as degree-7 Taylor (relative error
+# ~5e-9, under one f32 ulp).  Branchless on purpose: the previous
+# table-by-j/32 refinement cost a per-element 33-entry gather on TPU
+# (~8 ns/element — it dominated Pattern Lab's vibrato buckets).
 _LN2 = float(np.log(2.0))
-_E1 = np.float32(_LN2)
-_E2 = np.float32(_LN2 ** 2 / 2.0)
-_E3 = np.float32(_LN2 ** 3 / 6.0)
+_E2C = [np.float32(_LN2 ** k / math.factorial(k)) for k in range(1, 8)]
 
 
 def _poly_sin(v):
@@ -136,17 +135,14 @@ def frac_signed_np(x):
 
 
 def exp2(y):
-    """2**y for f32 y (|y| <= ~100), table + tiny residual polynomial.
-    Output agrees with the NumPy twin to ~1 ulp of the result."""
+    """2**y for f32 y (|y| <= ~100), branchless polynomial + exponent
+    scale.  Output agrees with the NumPy twin to ~1 ulp of the result."""
     y = jnp.asarray(y, jnp.float32)
     k = jnp.rint(y)
     r = y - k                                    # exact, |r| <= 0.5
-    r32 = r * jnp.float32(32.0)                  # exact
-    j = jnp.rint(r32)
-    r2 = (r32 - j) * jnp.float32(1.0 / 32.0)     # exact, |r2| <= 1/64
-    c = r2 * (_E1 + r2 * (_E2 + r2 * _E3))
-    tab = jnp.asarray(_EXP2_TABLE)
-    val = tab[j.astype(jnp.int32) + 16] * (jnp.float32(1.0) + c)
+    c = r * (_E2C[0] + r * (_E2C[1] + r * (_E2C[2] + r * (_E2C[3]
+            + r * (_E2C[4] + r * (_E2C[5] + r * _E2C[6]))))))
+    val = jnp.float32(1.0) + c
     ki = jnp.clip(k.astype(jnp.int32), -126, 126)
     scale = jnp.asarray((ki + 127) << 23).view(jnp.float32)
     return val * scale
@@ -156,11 +152,9 @@ def exp2_np(y):
     y = np.asarray(y, np.float32)
     k = np.rint(y)
     r = (y - k).astype(np.float32)
-    r32 = r * np.float32(32.0)
-    j = np.rint(r32)
-    r2 = ((r32 - j) * np.float32(1.0 / 32.0)).astype(np.float32)
-    c = r2 * (_E1 + r2 * (_E2 + r2 * _E3))
-    val = _EXP2_TABLE[j.astype(np.int32) + 16] * (np.float32(1.0) + c)
+    c = r * (_E2C[0] + r * (_E2C[1] + r * (_E2C[2] + r * (_E2C[3]
+            + r * (_E2C[4] + r * (_E2C[5] + r * _E2C[6]))))))
+    val = (np.float32(1.0) + c).astype(np.float32)
     ki = np.clip(k.astype(np.int32), -126, 126)
     scale = np.asarray((ki + 127) << 23, np.int32).view(np.float32)
     return (val * scale).astype(np.float32)
