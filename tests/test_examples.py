@@ -70,6 +70,32 @@ def test_grid_showcase_project_renders():
         "no restart events resolved from the showcase project"
 
 
+def test_restart_count_inference_mutates_output():
+    """The sync_mutating_lattice / restart_handshake family must actually
+    RESPOND to sync-point projection (restart_mutating_euclid.py:16-56
+    technique): different sync layouts -> different inferred restart index
+    -> different audio / event delay."""
+    from audio_suite_tpu.plugins.host import load_py_module
+    base_ctx = {
+        "track_index": 2, "cell_index": 1, "cells_total": 4,
+        "cell_start": 1.0, "cell_duration": 1.0,
+        "track_pattern_duration": 4.0, "track_offset": 0.0,
+        "tracks": [{"index": i, "name": f"t{i}"} for i in range(3)],
+    }
+    lat = load_py_module(os.path.join(EX, "cells", "sync_mutating_lattice.py"))
+    a = lat.generate(22050, 0.5, dict(base_ctx, track_sync_points_master=[]))
+    b = lat.generate(22050, 0.5, dict(base_ctx,
+                                      track_sync_points_master=[1.2, 5.2]))
+    assert np.max(np.abs(np.asarray(a) - np.asarray(b))) > 1e-3, \
+        "sync points did not mutate the lattice"
+
+    hs = load_py_module(os.path.join(EX, "cells", "restart_handshake.py"))
+    ev0 = hs.event(dict(base_ctx, track_sync_points_master=[]))
+    ev2 = hs.event(dict(base_ctx, track_sync_points_master=[0.5, 4.5]))
+    assert ev0["restart_tracks"] == [1] and ev0["delay"] == 0.0
+    assert ev2["restart_tracks"] == [1] and ev2["delay"] > 0.0
+
+
 # ---------------------------------------------------------------------------
 # Pattern Lab generator scripts
 # ---------------------------------------------------------------------------
