@@ -222,3 +222,114 @@ def test_all_reference_presets_render():
         assert np.isfinite(out).all(), path
         rendered += 1
     assert rendered >= 20
+
+
+# ---------------------------------------------------------------------------
+# Reference-ceiling scale (main_v2.py:894-902: SR up to 192 kHz, duration up
+# to 240 s; main_v2.py:596-597: design-rate clamp at 30 MHz)
+# ---------------------------------------------------------------------------
+
+def _ceiling_params():
+    return ms.MicrosoundParams.from_dict(dict(
+        base_sr=192000, out_dur_s=240.0, time_unfold=100.0,
+        gen_mode="Noise burst", micro_ms=1.0, grains_per_sec=40.0,
+        max_grains=4000, partial_stretch=4.0, bandlimit_on=True,
+        bandlimit_out_hz=18000.0, bandlimit_roll_hz=2500.0,
+        er_cloud_on=True, space_ir_on=False, stereo_on=True,
+        bp_density="", bp_unfold="", bp_cutoff="", bp_stretch="", seed=5))
+
+
+def test_ceiling_240s_192k_chunked_oa_parity():
+    """240 s at 192 kHz (the documented maximum, main_v2.py:894-902) with a
+    4000-event field: the event chunking engages (>= 2 chunks), per-chunk
+    grain memory stays bounded at <= 2^26 floats, and the overlap-add
+    output matches the oracle on a truncated prefix window.  (The
+    full-length oracle is infeasible — its FX tail is an O(N*K)
+    np.convolve at N = 46 M — but the OA accumulation is causal in event
+    start, so the prefix comparison is exact: grain j contributes to
+    indices >= start_j only.)"""
+    from audio_suite_tpu.ops import pallas_oa
+    from oracles.microsound_ref import _one_grain
+    import jax.numpy as jnp
+
+    p = _ceiling_params()
+    prog = ms.build_program(p)
+    assert prog["out_n"] == 46_080_000
+    assert prog["E"] == 4000
+    L = int(prog["L"])
+
+    ec = max(1, min(ms._next_pow2(max(1, prog["E"])),
+                    (1 << 26) // max(1, L)))
+    assert ec * L <= (1 << 26)            # bounded grain memory per chunk
+    chunks, ring_ok = ms._chunk_events(prog, ec)
+    assert len(chunks) >= 2               # chunking actually engages
+
+    oa = "ring" if (ring_ok and pallas_oa.ring_available()) else "dus"
+    cfg = ms.chain_cfg(p, prog, ec, oa=oa)
+    fn = ms._chunk_fn(cfg)
+    out = np.zeros(pallas_oa.ring_out_len(prog["out_n"], L), np.float32)
+    carry = None
+    for ch in chunks:
+        carry, _, out = fn(ch, carry, out)
+    W = 4 * 192000                        # 4 s truncated oracle window
+    dev_prefix = np.asarray(out[L:L + W])
+
+    cfg_ref = ms.chain_cfg(p, prog, prog["E"])
+    ref = np.zeros(W)
+    in_window = 0
+    for idx in range(prog["E"]):
+        start = int(prog["start"][idx])
+        if start >= W:
+            continue
+        e = {k: prog[k][idx] for k in
+             ("seed", "n", "gen_sr", "inv_gen_sr", "amp", "offset",
+              "start", "cutoff_gen", "stretch")}
+        for k in ("dust_k", "dust_klen", "frag_len"):
+            if k in prog:
+                e[k] = prog[k][idx]
+        g = _one_grain(e, cfg_ref, prog, idx)
+        n = int(e["n"])
+        off = int(e["offset"])
+        lim = min(W - start, n - off)
+        if lim > 0:
+            ref[start:start + lim] += float(e["amp"]) * g[off:off + lim]
+        in_window += 1
+    assert in_window >= 32                # the window check is meaningful
+    assert max_dev_dbfs(dev_prefix, ref) <= -60.0
+
+
+def test_ceiling_240s_192k_end_to_end():
+    """The full public-API render at the reference ceiling: 240 s at
+    192 kHz, 4000 events, chunked chain + global FX + device PCM16 — the
+    'arbitrarily dense fields render in bounded memory' claim, demonstrated
+    at the documented maximum (wall time published in BASELINE.md)."""
+    import time
+    p = _ceiling_params()
+    t0 = time.time()
+    y, meta = ms.render(p, pcm16=True)
+    wall = time.time() - t0
+    assert y.shape == (46_080_000, 2)
+    assert y.dtype == np.int16
+    yf = y[::977].astype(np.float32)      # strided probe: finite + nonzero
+    assert np.isfinite(yf).all()
+    assert np.abs(y).max() > 1000         # normalized output actually there
+    assert meta["events"] == 4000
+    print(f"\nceiling end-to-end: {wall:.1f} s wall for 240 s @ 192 kHz")
+
+
+def test_ceiling_gen_sr_30mhz_clamp_parity():
+    """Unfold x200 at 192 kHz pushes the design rate to 38.4 MHz; the
+    reference clamps at 30 MHz (main_v2.py:596-597) and so does
+    build_program — full render parity vs the oracle at the clamp."""
+    p = small_params(
+        base_sr=192000, out_dur_s=0.3, time_unfold=200.0, micro_ms=1.0,
+        grains_per_sec=30.0, max_grains=12, gen_mode="Noise burst",
+        bandlimit_on=True, bandlimit_out_hz=18000.0,
+        bandlimit_roll_hz=2500.0, er_cloud_on=False, stereo_on=True,
+        grain_offset_on=False)
+    prog = ms.build_program(p)
+    assert prog["gen_sr_base"] == 30_000_000
+    assert np.all(np.asarray(prog["gen_sr"]) == 30_000_000.0)
+    assert int(prog["L"]) >= 30_000       # 1 ms of 30 MHz design rate
+    out, ref, meta = run_both(p)
+    assert max_dev_dbfs(out, ref) <= -60.0

@@ -3,10 +3,17 @@ CURRENT default JAX device (run on the real TPU; the CPU test suite cannot
 catch TPU-only numerics — this sweep caught jnp.convolve silently lowering
 to bf16 on the MXU at -51 dBFS).
 
-    python tools/tpu_parity.py
+    python tools/tpu_parity.py            # quick sweep (seconds)
+    python tools/tpu_parity.py --long     # + long-render configs (minutes:
+                                          #   >=60 s / >=2k-note Pattern Lab,
+                                          #   60 s tape, 60 s scrub — the
+                                          #   error-accumulation regime the
+                                          #   quick sweep cannot see)
 """
+import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -146,5 +153,106 @@ def main():
     print("all engines within budget on this device")
 
 
+def main_long():
+    """Long-render parity on hardware (VERDICT r2 item 6): quantizer /
+    phase-accumulation error grows with render length and note count, so
+    the -60 dBFS budget must be demonstrated AT LENGTH on the TPU, not only
+    at the quick sweep's seconds-scale configs."""
+    import jax
+    print(f"device: {jax.devices()[0]}  [long sweep]")
+    failures = []
+
+    def report(tag, dev, limit=-60.0):
+        ok = dev <= limit
+        print(f"{tag:<34} {dev:8.1f} dBFS   {'OK' if ok else 'FAIL'}")
+        if not ok:
+            failures.append(tag)
+
+    # --- Pattern Lab: >=60 s, >=2000 notes (synth_fm.py:27-36 quantizer
+    # error regime) ---
+    from audio_suite_tpu.models import patternlab as pl
+    from oracles.patternlab_ref import render_np
+    rc = pl.RenderConfig(sample_rate=44100, seconds=64.0, bpm=168, seed=17)
+    events = []
+    for gen in pl.list_generators():
+        if gen == "Python Script":
+            continue
+        events.extend(pl.generate(gen, rc))
+    t0 = time.perf_counter()
+    y, ev = pl.render(events, rc)
+    t_dev = time.perf_counter() - t0
+    assert len(ev) >= 2000, f"long config must have >=2k notes, got {len(ev)}"
+    t0 = time.perf_counter()
+    ref = render_np(ev, rc)
+    t_ref = time.perf_counter() - t0
+    print(f"  patternlab: {len(ev)} notes / {rc.seconds:.0f} s "
+          f"(device {t_dev:.1f} s, oracle {t_ref:.1f} s)")
+    report(f"patternlab long ({len(ev)} notes)", max_dev_dbfs(y, ref))
+
+    # --- Tape: 60 s render, mixed speeds/reverse, inertia + splice fx ---
+    from audio_suite_tpu.models import tape
+    from oracles.tape_ref import render_tape_np
+    sr = 48000
+    rng = np.random.default_rng(23)
+    t = np.arange(sr * 60) / sr
+    audio = (0.5 * np.sin(2 * np.pi * 220 * t)
+             + 0.3 * np.sin(2 * np.pi * 933 * t + 0.5)
+             + 0.1 * rng.standard_normal(t.size)).astype(np.float32)
+    n = len(audio)
+    p = tape.TapeParams(
+        sample_rate=sr, markers=[int(n * f) for f in (0.15, 0.4, 0.7)],
+        section_speeds=[1.0, 2.5, 0.4, 1.7],
+        section_reverse=[False, True, False, True],
+        tape_age=70, inertia_enabled=True, inertia_amount=50,
+        enable_splice_fx=True, anticlick_enabled=True)
+    frames = sr * 60
+    prog = tape.build_tape_program(audio, p, frames)
+    t0 = time.perf_counter()
+    y_t = tape.render_tape(audio, p, frames)
+    t_dev = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ref_t = render_tape_np(prog)
+    t_ref = time.perf_counter() - t0
+    print(f"  tape: {frames / sr:.0f} s render "
+          f"(device {t_dev:.1f} s, oracle {t_ref:.1f} s)")
+    report("tape long (60 s inertia/rev)", max_dev_dbfs(y_t, ref_t), -100.0)
+
+    # --- Scrub: 60 s gesture, 3 heads, jumps + dropout ---
+    from audio_suite_tpu.models import scrub
+    from oracles.scrub_ref import render_scrub_np
+    cfg = scrub.ScrubConfig(sample_rate=sr, seed=5, head_count=3)
+    blocks = int(60.0 * sr / scrub.BLOCK_SIZE)
+    trace = scrub.scripted_gesture_trace(
+        blocks, sr,
+        drag_events=[(2.0, 8.0, 3.0), (12.0, -14.0, 4.0), (25.0, 4.0, 5.0),
+                     (40.0, -6.0, 6.0)],
+        base_speed=0.5, jumps=[(18.0, 9000.0), (45.0, 120000.0)])
+    sprog = scrub.build_scrub_program(audio[: sr * 10], cfg, trace,
+                                      with_inc=True)
+    t0 = time.perf_counter()
+    y_s = scrub.render_scrub(audio[: sr * 10], cfg, trace)
+    t_dev = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ref_s = render_scrub_np(sprog)
+    t_ref = time.perf_counter() - t0
+    print(f"  scrub: {blocks * scrub.BLOCK_SIZE / sr:.0f} s render "
+          f"(device {t_dev:.1f} s, oracle {t_ref:.1f} s)")
+    report("scrub long (60 s, 3 heads)", max_dev_dbfs(y_s, ref_s), -100.0)
+
+    if failures:
+        print("LONG FAILURES:", failures)
+        sys.exit(1)
+    print("all long-render configs within budget on this device")
+
+
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--long", action="store_true",
+                    help="also run the long-render configs (minutes)")
+    ap.add_argument("--long-only", action="store_true",
+                    help="run ONLY the long-render configs")
+    args = ap.parse_args()
+    if not args.long_only:
+        main()
+    if args.long or args.long_only:
+        main_long()
