@@ -375,9 +375,9 @@ def gather_linear_wrap_np(audio, whole, frac):
 # REFERENCE's semantics and the parity oracle's math (BASELINE.md,
 # "Interpolation quality").  The north star names windowed sinc as the
 # production-resampler quality bar; this is that mode: Lanczos-windowed
-# sinc over `taps` neighbours, weight-normalized (exact DC), K gathers +
-# K transcendental passes per output sample — slower than linear by
-# design, selected per render via the engines' interp="sinc" option.
+# sinc over `taps` neighbours, weight-normalized (exact DC), one packed
+# row gather + K transcendental weight passes per output sample,
+# selected per render via the engines' interp="sinc" option.
 
 def _lanczos_w(x, half):
     # sinc(x) * sinc(x/half) on |x| < half, 0 outside; jnp.sinc is the
@@ -386,37 +386,63 @@ def _lanczos_w(x, half):
                      jnp.sinc(x) * jnp.sinc(x / half), 0.0)
 
 
+def _sinc_weight_dot(vals, fr, half):
+    """Weight-normalized tap dot, accumulated in tap order with the same
+    f32 multiplies/adds as the per-tap-gather formulation (bit-equal to it
+    op-for-op; under jit XLA may contract the mul-adds into FMAs, as it
+    could with the old form — the sinc twins are tolerance-based, 1e-5,
+    unlike the linear path's bit-exact twins)."""
+    acc = jnp.zeros(fr.shape, jnp.float32)
+    wsum = jnp.zeros(fr.shape, jnp.float32)
+    for t, j in enumerate(range(-half + 1, half + 1)):
+        w = _lanczos_w(jnp.float32(j) - fr, half)
+        acc = acc + w * vals[..., t]
+        wsum = wsum + w
+    return acc / wsum
+
+
 def gather_sinc_wrap(audio, whole, frac, taps: int = 16):
     """Wrap-around Lanczos-windowed-sinc interpolated read (quality mode).
 
     Read point p = whole + frac*2^-22; taps at integer offsets
     j in [-taps/2+1, taps/2] with weights sinc(j-fr)*sinc((j-fr)/half),
-    normalized to unit sum so constants pass through exactly."""
+    normalized to unit sum so constants pass through exactly.
+
+    TPU gathers cost per index, not per byte (~50 ns/element on v5e), so
+    the `taps` neighbours of every sample are packed into a [n, taps] row
+    table (taps cheap rolled copies of the audio) and the read becomes ONE
+    row gather + an in-register weight dot — the same trick as the linear
+    read's pair gather, at 1/taps the gather count of the naive form."""
     n = audio.shape[0]
     half = taps // 2
     fr = frac.astype(jnp.float32) * POS_INV_F
-    acc = jnp.zeros(whole.shape, jnp.float32)
-    wsum = jnp.zeros(whole.shape, jnp.float32)
-    for j in range(-half + 1, half + 1):
-        w = _lanczos_w(jnp.float32(j) - fr, half)
-        acc = acc + w * audio[jnp.mod(whole + j, n)]
-        wsum = wsum + w
-    return acc / wsum
+    # rows[i, t] = audio[(i + j_t) mod n],  j_t = t - half + 1
+    rows = jnp.stack([jnp.roll(audio, half - 1 - t) for t in range(taps)],
+                     axis=-1)
+    vals = rows[jnp.mod(whole, n)]
+    return _sinc_weight_dot(vals, fr, half)
 
 
 def gather_sinc_clip(audio, whole, frac, taps: int = 16):
     """Edge-clamped variant (tape reads clamp at the buffer ends rather
-    than wrapping, Tape…py:830-836 index clip)."""
+    than wrapping, Tape…py:830-836 index clip).  `whole` is expected in
+    [0, n) — the tape kernels clip positions before the read."""
     n = audio.shape[0]
     half = taps // 2
     fr = frac.astype(jnp.float32) * POS_INV_F
-    acc = jnp.zeros(whole.shape, jnp.float32)
-    wsum = jnp.zeros(whole.shape, jnp.float32)
+    # rows[i, t] = audio[clip(i + j_t, 0, n-1)] via edge-padded shifts
+    cols = []
     for j in range(-half + 1, half + 1):
-        w = _lanczos_w(jnp.float32(j) - fr, half)
-        acc = acc + w * audio[jnp.clip(whole + j, 0, n - 1)]
-        wsum = wsum + w
-    return acc / wsum
+        if j >= 0:
+            c = jnp.concatenate(
+                [audio[j:], jnp.broadcast_to(audio[-1:], (min(j, n),))])[:n]
+        else:
+            c = jnp.concatenate(
+                [jnp.broadcast_to(audio[:1], (min(-j, n),)), audio[:j]])[:n]
+        cols.append(c)
+    rows = jnp.stack(cols, axis=-1)
+    vals = rows[jnp.clip(whole, 0, n - 1)]
+    return _sinc_weight_dot(vals, fr, half)
 
 
 def _lanczos_w_np(x, half):
