@@ -891,10 +891,17 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
     if prog["E"] > 0:
         L = prog["L"]
         if event_chunk is None:
-            # ~256 MB of grain buffers per chunk; bucket to a power of two
-            # so seed-to-seed event-count jitter (Poisson/Hawkes fields)
-            # reuses the compiled kernel instead of recompiling per render
-            event_chunk = max(1, min(_next_pow2(max(1, prog["E"])),
+            # ~256 MB of grain buffers per chunk; bucket the chunk size so
+            # seed-to-seed event-count jitter (Poisson/Hawkes fields)
+            # reuses compiled kernels.  Sixteenth-octave quanta instead of
+            # powers of two: pow2 padded E=270 to 512 and every per-event
+            # stage (noise, FFTs, lerp, OA) paid the 1.9x — sixteenths cap
+            # the padding waste at ~12% (quantum/E, at most 16 buckets per
+            # octave, persistent-cached compiles)
+            np2 = _next_pow2(max(1, prog["E"]))
+            quantum = max(8, np2 // 16)
+            bucketed = -(-prog["E"] // quantum) * quantum
+            event_chunk = max(1, min(bucketed,
                                      (1 << 26) // max(1, L)))
         chunks, ring_ok = _chunk_events(prog, event_chunk)
         oa = "ring" if (ring_ok and pallas_oa.ring_available()) else "dus"

@@ -88,13 +88,14 @@ def _tilted_noise(i, n, seed, gen_sr, tilt_db_per_oct, L):
     w = noise.normal(seed, i, STREAM_MAIN)
     w = jnp.where(i < n, w, 0.0)
     W = jnp.fft.rfft(w)
-    f = jnp.arange(L // 2 + 1, dtype=jnp.float32) * (
-        jnp.asarray(gen_sr, jnp.float32) / jnp.float32(L))
-    f1 = f[1]
-    f = f.at[0].set(f1)
+    # f/f1 == bin index exactly (f = i*gen_sr/L, f1 = gen_sr/L), so the
+    # tilt shape is gen_sr-INDEPENDENT: one [nf] pow instead of an
+    # [E, nf] transcendental per event under vmap (XLA hoists ops with
+    # no batched operands out of the event batch)
+    r = jnp.arange(L // 2 + 1, dtype=jnp.float32).at[0].set(1.0)
     alpha = jnp.log2(jnp.float32(10.0) ** (jnp.asarray(tilt_db_per_oct,
                                                        jnp.float32) / 20.0))
-    shape = (f / jnp.maximum(1e-12, f1)) ** alpha
+    shape = r ** alpha
     return jnp.fft.irfft(W * shape, n=L).astype(jnp.float32)
 
 

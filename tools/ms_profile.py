@@ -51,9 +51,9 @@ def main():
         bp_density="", bp_unfold="", bp_cutoff="", bp_stretch="", seed=5))
     prog = ms.build_program(p, ir_audio=ir)
     print("E", prog["E"], "L", prog["L"], "out_n", prog["out_n"])
-    ec = max(1, min(prog["E"], (1 << 26) // max(1, prog["L"])))
-    ec = ms._next_pow2(ec) if hasattr(ms, "_next_pow2") else ec
-    ec = max(1, min(ms._next_pow2(max(1, prog["E"])),
+    np2 = ms._next_pow2(max(1, prog["E"]))
+    quantum = max(8, np2 // 16)
+    ec = max(1, min(-(-prog["E"] // quantum) * quantum,
                     (1 << 26) // max(1, prog["L"])))
     chunks, ring_ok = ms._chunk_events(prog, ec)
     oa = "ring" if (ring_ok and pallas_oa.ring_available()) else "dus"

@@ -6,7 +6,13 @@ north-star note's quality-mode resampler numbers, BASELINE.md).
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+# persistent XLA compile cache (same as bench.py): the 3-minute tape kernel
+# costs multi-minute TPU compiles through the tunnel without it
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_ROOT, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import time
 import numpy as np
