@@ -265,9 +265,11 @@ def tape_table_render(prog: dict, out_i16: bool = False,
     """Device tape engine: compact host control tables -> full on-device
     reconstruction (ops/varispeed.tape_device_render).  Host->device payload
     is O(visits + runs) ~ KBs instead of 12 bytes/output sample.
-    device_out=True returns the (sliced) device array without the d2h pull —
-    for pipelines that keep consuming on device, and for compute-only RTF
-    measurement."""
+    device_out=True returns the PADDED device array (length bucketed to 32k
+    blocks, zero beyond prog["num_frames"]) without the d2h pull — for
+    pipelines that keep consuming on device, and for compute-only RTF
+    measurement.  Padded because slicing to the exact frame count mints a
+    fresh XLA slice kernel per distinct length; slice host-side if needed."""
     consts = prog["consts"]
     T = int(prog["num_frames"])
     n = int(prog["audio"].shape[0])
@@ -294,16 +296,18 @@ def tape_table_render(prog: dict, out_i16: bool = False,
         prog["_tables"] = tables
 
     # shape bucketing: pad the render length to 32k blocks and every table
-    # to a power of two so repeated renders reuse the compiled kernel
+    # to a power of two (min 64) so repeated renders — including renders of
+    # TWEAKED programs whose visit/run/trigger counts wander a little —
+    # reuse the compiled kernel instead of flipping shape buckets
     t_pad = -(-T // 32768) * 32768
-    vs = _pad_pow2(tables["visit_start"], t_pad)
-    bw = _pad_pow2(tables["visit_bw"], 0)
-    bf = _pad_pow2(tables["visit_bf"], 0)
-    vsec = _pad_pow2(tables["visit_sec"], 0)
-    rs = _pad_pow2(tables["run_start"], t_pad)
-    s0 = _pad_pow2(tables["run_s0"], 0)
-    rm = _pad_pow2(tables["run_m"], 0)
-    trig = (_pad_pow2(tables["triggers"], t_pad)
+    vs = _pad_pow2(tables["visit_start"], t_pad, min_len=64)
+    bw = _pad_pow2(tables["visit_bw"], 0, min_len=64)
+    bf = _pad_pow2(tables["visit_bf"], 0, min_len=64)
+    vsec = _pad_pow2(tables["visit_sec"], 0, min_len=64)
+    rs = _pad_pow2(tables["run_start"], t_pad, min_len=64)
+    s0 = _pad_pow2(tables["run_s0"], 0, min_len=64)
+    rm = _pad_pow2(tables["run_m"], 0, min_len=64)
+    trig = (_pad_pow2(tables["triggers"], t_pad, min_len=64)
             if len(tables["triggers"]) else np.zeros(0, np.int32))
 
     ints, flts, ph0 = prog["mod_consts"]
@@ -312,9 +316,13 @@ def tape_table_render(prog: dict, out_i16: bool = False,
         vs, bw, bf, vsec, rs, s0, rm,
         prog["starts"], prog["ends"], prog["reverse"], prog["boundaries"],
         trig, prog["splice_env"],
-        consts, t_pad, out_i16, interp, stereo)
+        consts, t_pad, out_i16, interp, stereo, n_valid=jnp.int32(T))
     if device_out:
-        return out[:T], tables["final"]
+        # PADDED buffer (zero beyond T): slicing to the exact T here would
+        # compile a fresh XLA slice kernel for every distinct frame count
+        # (~0.5 s each through the tunnel) — callers get (padded, n_valid)
+        # semantics via tables["final"]/T and slice host-side if needed
+        return out, tables["final"]
     return chunked_pull(out, T), tables["final"]
 
 

@@ -686,14 +686,21 @@ def tape_device_render(audio, mod_ints, mod_flts, phase0,
                        splice_trig, splice_env,
                        consts: TapeConsts, t_total: int,
                        out_i16: bool = False, interp: str = "linear",
-                       stereo: bool = False):
+                       stereo: bool = False, n_valid=None):
     """Whole tape render on device from compact control tables.
 
     Bit-reproduces the segment engine's positions: the increments are the
     same single-rounded f32 products of exactly-representable operands, the
     visit bases pin each section visit to the host's decision, and all
     discrete mappings are integer math.  Audio differs from the scan engine
-    only by elementwise f32 rounding (parity tests assert <= -120 dBFS)."""
+    only by elementwise f32 rounding (parity tests assert <= -120 dBFS).
+
+    `n_valid` (traced scalar, optional): true frame count when t_total is
+    the bucketed padded length — samples at ii >= n_valid are zeroed so
+    the PADDED buffer is safe to consume directly (drains/sums see no
+    garbage tail).  Callers keep the padded shape: slicing to the exact
+    length mints a fresh XLA slice kernel per distinct length (~0.5 s
+    through the tunnel), which dominated fresh-program render loops."""
     n = audio.shape[0]
     T = int(t_total)
     i32 = jnp.int32
@@ -763,6 +770,8 @@ def tape_device_render(audio, mod_ints, mod_flts, phase0,
         pr = pairs[idx0]
         s = (jnp.float32(1.0) - fr) * pr[:, 0] + fr * pr[:, 1]
     s = jnp.clip(s * gain, -1.0, 1.0)
+    if n_valid is not None:
+        s = jnp.where(ii < n_valid, s, jnp.float32(0.0))
     if stereo:
         # stereo export: identical samples on both channels, duplicated on
         # device so the (timed) d2h pull carries real stereo PCM bytes

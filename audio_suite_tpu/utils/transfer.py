@@ -10,38 +10,70 @@ bandwidth from concurrent streams).  Measured behavior on the v5e tunnel
 - 16+ chunks:                  regresses (per-pull fixed cost dominates)
 - two arrays pulled from two threads: ~2x SLOWER than serial (shared pipe)
 
-So: slice the device array into ~1.5 MB chunks (at most 8), issue
+So: slice the device array into a few ~MB windows, issue
 `copy_to_host_async` on all slices so the transfers queue back-to-back
 without a host round-trip between them, then assemble.  Small arrays skip
 the machinery (fixed per-pull cost dominates).
-"""
+
+Every window is cut with ONE static length (pow2-bucketed) at a TRACED
+offset: a render length that shifts run to run (param tweaks change the
+frame count by a few hundred samples) must never mint fresh XLA slice
+kernels — the naive `arr[a:b]` bakes both bounds into the compiled op and
+cost ~0.5 s per distinct length through the tunnel, which dominated the
+whole param-tweak loop."""
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
-_TARGET_CHUNK_BYTES = 1.5e6
-_MAX_CHUNKS = 8
+_TARGET_CHUNKS = 8        # 4-8 async pulls is the measured sweet spot
 _MIN_BYTES = 3e6          # below this a single pull wins
+
+
+@functools.lru_cache(maxsize=64)
+def _window_fn(C: int):
+    """jitted fixed-length window cut: static length C, traced offset —
+    one compiled kernel per (array shape, C), reused for every offset."""
+    import jax
+
+    return jax.jit(
+        lambda a, off: jax.lax.dynamic_slice_in_dim(a, off, C, axis=0))
 
 
 def chunked_pull(dev_arr, n_valid: int | None = None) -> np.ndarray:
     """Pull a device array to host as NumPy, chunked along axis 0.
 
     `n_valid`: true length along axis 0 when the array carries padding —
-    only the valid prefix is transferred (the padded tail never crosses
-    the link).  Works on NumPy inputs too (no-op slice)."""
-    n = dev_arr.shape[0] if n_valid is None else int(n_valid)
+    only whole windows covering the valid prefix cross the link.  Works on
+    NumPy inputs too (no-op slice)."""
+    n = int(dev_arr.shape[0] if n_valid is None else n_valid)
     if isinstance(dev_arr, np.ndarray):
         return dev_arr[:n]
+    N = int(dev_arr.shape[0])
+    n = min(n, N)
+    if n <= 0:
+        return np.zeros((0,) + tuple(dev_arr.shape[1:]),
+                        np.dtype(dev_arr.dtype))
     itemsize = np.dtype(dev_arr.dtype).itemsize
     row = itemsize * int(np.prod(dev_arr.shape[1:], dtype=np.int64))
-    total = n * row
-    if total < _MIN_BYTES:
-        return np.asarray(dev_arr[:n]) if n != dev_arr.shape[0] \
-            else np.asarray(dev_arr)
-    k = max(1, min(_MAX_CHUNKS, int(round(total / _TARGET_CHUNK_BYTES))))
-    bounds = [int(round(j * n / k)) for j in range(k + 1)]
-    parts = [dev_arr[bounds[j]:bounds[j + 1]] for j in range(k)]
+    # pow2-bucketed window rows: ~n/_TARGET_CHUNKS, so C takes a new value
+    # only when the render length doubles — not on every few-sample shift
+    C = 1 << max(10, int(np.ceil(np.log2(max(1.0, n / _TARGET_CHUNKS)))))
+    if n * row < _MIN_BYTES or C >= N:
+        # whole-array pull: the device shape itself is stable (engines
+        # bucket their padded lengths), slice on the host
+        return np.asarray(dev_arr)[:n]
+    k = -(-n // C)
+    offs = [min(j * C, N - C) for j in range(k)]
+    win = _window_fn(C)
+    parts = [win(dev_arr, np.int32(off)) for off in offs]
     for p in parts:
         p.copy_to_host_async()
-    return np.concatenate([np.asarray(p) for p in parts], axis=0)
+    out = np.empty((n,) + tuple(dev_arr.shape[1:]), np.dtype(dev_arr.dtype))
+    for j, (off, p) in enumerate(zip(offs, parts)):
+        a = j * C
+        b = min(n, a + C)
+        ph = np.asarray(p)
+        out[a:b] = ph[a - off:b - off]
+    return out
