@@ -470,6 +470,11 @@ class ChainCfg:
     imprint_on: bool
     imprint_amt: float
     imprint_smooth: float
+    stretch_scale: float = 4.0   # static bound on 1/stretch for the shared
+    #                              kernel's selection window; sized by ceil
+    #                              into a handful of distinct H buckets, so
+    #                              a x4 upward stretch stops paying the
+    #                              x0.25 downward stretch's 6x window
 
 
 def chain_cfg(params: MicrosoundParams, prog: dict, ec: int,
@@ -491,7 +496,12 @@ def chain_cfg(params: MicrosoundParams, prog: dict, ec: int,
     shared = (fuse and not p.res_bank_on and not p.wg_on and not mb
               and "stretch" in prog and len(prog["stretch"]) > 0
               and bool(np.all(prog["stretch"] == prog["stretch"][0])))
+    stretch_scale = 4.0
+    if shared:
+        stretch_scale = float(
+            max(0.25, 1.0 / max(1e-6, float(prog["stretch"][0]))))
     return ChainCfg(
+        stretch_scale=stretch_scale,
         mode_id=GEN_MODES.index(p.gen_mode),
         L=int(prog["L"]), out_n=int(prog["out_n"]), ec=int(ec), oa=oa,
         shared_stretch=shared,
@@ -683,7 +693,8 @@ def chunk_body(cfg: ChainCfg):
             raw = jax.vmap(lambda e: _generate(e, cfg))(per_ev)
             x = spectral.lowpass_stretch_fused_shared(
                 raw, per_ev["gen_sr"], per_ev["cutoff_gen"],
-                per_ev["stretch"][0], roll=cfg.bandlimit_roll)
+                per_ev["stretch"][0], roll=cfg.bandlimit_roll,
+                max_scale=cfg.stretch_scale)
             j2 = jnp.arange(cfg.L, dtype=jnp.int32)[None, :]
             grains = jnp.where(j2 < per_ev["n"][:, None], x, 0.0)
         else:

@@ -225,9 +225,14 @@ def lowpass_stretch_fused_shared(x, sr_v, cutoff_v, factor, roll=0.0,
 
     All A output blocks are batched into ONE einsum (round-3: the previous
     per-block lax.scan serialized A=128 small matmuls at ~2% MXU
-    utilization — ~5 ms of the fused grain call; batched it is a single
-    [A,B,128]x[A,E,H,128] contraction).  Selection stays exact (one-hot
-    products), so results are bit-identical to the scanned form."""
+    utilization — ~5 ms of the fused grain call).  Selection is a SINGLE
+    one-hot over each block's whole window, contracted as [A,B,W]x[A,E,W]
+    (round-3b: the two-level lo/hi form materialized [A,E,H,128] reshapes
+    and an [A,E,B,H] broadcast-reduce — XLA cost_analysis measured 6.7 GB
+    of HBM traffic, pinning the whole fused grain kernel AT the v5e's
+    ~815 GB/s roofline; the flat form touches ~10x fewer bytes and rides
+    the MXU).  One nonzero product per output row, so results stay
+    bit-identical to a direct gather."""
     E, L = x.shape
     X = jnp.fft.rfft(x)
     nf = X.shape[-1]
@@ -241,10 +246,9 @@ def lowpass_stretch_fused_shared(x, sr_v, cutoff_v, factor, roll=0.0,
     nf_pad = A * block
     H = -(-(int(max_scale * block) + 8) // 128)
     Wd = H * 128
+    W = Wd + 128
     Xpad = jnp.concatenate(
-        [Xg, jnp.zeros((E, nf_pad + Wd + 128 - nf), Xg.dtype)], axis=-1)
-    lo_iota = jnp.arange(128, dtype=jnp.int32)[None, :]
-    hi_iota = jnp.arange(H, dtype=jnp.int32)[None, :]
+        [Xg, jnp.zeros((E, nf_pad + W - nf), Xg.dtype)], axis=-1)
 
     a = jnp.arange(A, dtype=jnp.int32)
     k = (a[:, None] * block
@@ -257,25 +261,22 @@ def lowpass_stretch_fused_shared(x, sr_v, cutoff_v, factor, roll=0.0,
         jnp.floor(a.astype(jnp.float32) * jnp.float32(block) * scale)
         .astype(jnp.int32) - 2,
         0, nf_pad)                                    # [A]
-    local = i0.astype(jnp.int32) - win[:, None]
-    hi = local >> 7
-    lo = local - (hi << 7)
-    oh_lo = (lo_iota[None] == lo[..., None]).astype(jnp.float32)  # [A,B,128]
-    oh_hi = (hi_iota[None] == hi[..., None]).astype(jnp.float32)  # [A,B,H]
+    local = i0.astype(jnp.int32) - win[:, None]       # [A, B] in [0, Wd)
+    w_iota = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    oh0 = (w_iota == local[..., None]).astype(jnp.float32)        # [A,B,W]
+    oh1 = (w_iota == (local + 1)[..., None]).astype(jnp.float32)  # [A,B,W]
     xw = jax.vmap(
-        lambda w: jax.lax.dynamic_slice(Xpad, (0, w), (E, Wd + 128)))(win)
-
-    def sel(x3):
-        # [A, E, H, 128] -> exact per-bin selection shared across events
-        s = jnp.einsum("abl,aehl->aebh", oh_lo, x3,
-                       precision=jax.lax.Precision.HIGHEST)
-        return jnp.sum(oh_hi[:, None] * s, axis=-1)   # [A, E, B]
+        lambda w: jax.lax.dynamic_slice(Xpad, (0, w), (E, W)))(win)
 
     def lerp_part(xw_r):
-        x0 = xw_r[..., :Wd].reshape(A, E, H, 128)
-        x1 = xw_r[..., 1:Wd + 1].reshape(A, E, H, 128)
-        return (sel(x0) * (jnp.float32(1.0) - t)[:, None, :]
-                + sel(x1) * t[:, None, :])
+        # [A,B,W] x [A,E,W] -> [A,E,B]: exactly one nonzero product per
+        # output element, so the MXU contraction equals a direct gather
+        x0 = jnp.einsum("abw,aew->aeb", oh0, xw_r,
+                        precision=jax.lax.Precision.HIGHEST)
+        x1 = jnp.einsum("abw,aew->aeb", oh1, xw_r,
+                        precision=jax.lax.Precision.HIGHEST)
+        return (x0 * (jnp.float32(1.0) - t)[:, None, :]
+                + x1 * t[:, None, :])
 
     out = lerp_part(xw.real) + 1j * lerp_part(xw.imag)
     out = out * valid[:, None, :].astype(jnp.float32)

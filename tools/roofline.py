@@ -73,12 +73,12 @@ def grid_case():
         sample_rate=sr)
     n_total, rows = grid._build_mix_program(project)
     prep = grid.prepare_device_mix(n_total, rows)
-    meta, flat_dev, resets_dev = prep
-    fn = grid._mix_fn(meta)
-    lowered = fn.lower(flat_dev, resets_dev, jnp.int32(n_total))
+    fn = grid._mix_fn(prep.meta)
+    lowered = fn.lower(prep.flat_pat, prep.resets, jnp.int32(n_total))
     compiled = lowered.compile()
-    t = time_device(lambda: fn(flat_dev, resets_dev, jnp.int32(n_total)))
-    report(f"grid mixdown [{meta.n_pad}]", compiled, t)
+    t = time_device(lambda: fn(prep.flat_pat, prep.resets,
+                               jnp.int32(n_total)))
+    report(f"grid mixdown [{prep.meta.n_pad}]", compiled, t)
 
 
 def ms_case():
@@ -119,7 +119,7 @@ def ms_case():
     wrapped = jax.jit(lambda c: fused(c, None, er_d, ir_d)[2])
     compiled = wrapped.lower(c0).compile()
     t = time_device(lambda: wrapped(c0))
-    report(f"microsound fused [E={cfg.E} L={cfg.L}]", compiled, t)
+    report(f"microsound fused [E={cfg.ec} L={cfg.L}]", compiled, t)
 
     # stage splits with the same K=20 protocol
     per_ev = {k: v for k, v in c0.items() if not k.startswith("oa_")}
