@@ -295,16 +295,36 @@ def build_scrub_program(audio: np.ndarray, cfg: ScrubConfig,
     }
 
 
-def _read_blockwise_multi(audio, whole, frac, head_off_w, span_blocks: int,
-                          read_block: int = 128, chunk: int = 256):
-    """Multi-head variant for INTEGER head offsets: positions of every head
-    share the same in-window locals and fractions (offsets shift the anchor
-    only), so by linearity the one-hot matmul runs ONCE on the SUM of the
-    per-head windows."""
+def _read_blockwise_heads(audio, whole, frac, head_offs: tuple,
+                          span_blocks: int, read_block: int = 128,
+                          chunk: int = 256):
+    """Wrap-around fractional multi-head read: row-aligned window fetch +
+    blockwise two-level one-hot MXU selection.
+
+    Scrub positions move at most `span_blocks` samples per output sample
+    (MAX_TAPE_SPEED clamp) and jumps land on block boundaries, so each
+    read_block of outputs touches a bounded contiguous (mod n) window.
+
+    The FETCH dominates on TPU: a vmapped dynamic_slice at traced starts
+    lowers to an element gather (~15 ms for 11k x 272 windows on v5e);
+    fetching whole 128-lane ROWS via one jnp.take hoisted out of the chunk
+    loop is ~7x faster — the alignment slack (< 128) just widens the
+    selection window.  Head offsets are STATIC ints, so each head's window
+    is the same row fetch at a static row/column shift, and by linearity
+    the one-hot selection runs once on the SUM of the head windows.  The
+    lerp neighbor x1 comes from a one-column-shifted view of the same
+    fetch, reusing the one-hots.
+
+    Selection picks exactly one window element per one-hot row (products
+    with an exact 0/1 mask), so x0/x1 equal a direct gather; the f32 lerp
+    combine matches gather_linear_wrap's."""
     n = audio.shape[0]
     T = whole.shape[0]
     B = read_block
-    W = 2 * span_blocks * B + 16
+    Wold = 2 * span_blocks * B + 16
+    W = -(-(Wold + 128 + 1) // 128) * 128   # + alignment slack + lerp x1
+    H = W // 128
+    WR = H + 1                              # +1 row for static column shifts
     K = T // B
     KC = -(-K // chunk) * chunk
 
@@ -314,95 +334,114 @@ def _read_blockwise_multi(audio, whole, frac, head_off_w, span_blocks: int,
     if pad:
         pw = jnp.concatenate([pw, jnp.zeros((pad, B), pw.dtype)])
         fr = jnp.concatenate([fr, jnp.zeros((pad, B), fr.dtype)])
-    anchor = jnp.mod(pw[:, 0] - jnp.int32(span_blocks * B + 4), n)
-    local = jnp.mod(pw - anchor[:, None], n)
 
-    audio_ext = jnp.concatenate([audio, audio[: W + 2]])
-    widx = jnp.arange(W, dtype=jnp.int32)[None, None, :]
-    H = head_off_w.shape[0]
+    offs = tuple(int(o) for o in head_offs) or (0,)
+    off_min = min(0, min(offs))
+    off_max = max(0, max(offs))
+    # bias makes every ext index non-negative (256 guards the floor-shift
+    # slack of the row splits) and is a row multiple so alignment survives
+    bias = ((span_blocks * B + 4 - off_min + 127) // 128) * 128 + 256
+    anchor = pw[:, 0] - jnp.int32(span_blocks * B + 4)       # in (-n, n)
+    # in-window offset: identical to the old anchor-modded computation
+    # (anchor representatives agree mod n); covers forward AND reverse
+    # wrap within a block
+    d = jnp.mod(pw - anchor[:, None], n)    # in [0, Wold)
+    q = anchor + jnp.int32(bias)
+    rows0 = q >> 7                          # row-aligned window base
+    local = d + (q - (rows0 << 7))[:, None]  # + slack, in [0, Wold + 128)
+
+    # ext[i] = audio[(i - bias) mod n]; bias static so this is a static
+    # roll + tile (covers negative head offsets and the wrap reads)
+    shift = (-bias) % n
+    base = jnp.concatenate([audio[shift:], audio[:shift]])
+    ext_len = -(-(n + bias + off_max + W + 256) // 128) * 128
+    reps = -(-ext_len // n)
+    ext2d = jnp.concatenate([base] * max(1, reps))[:ext_len].reshape(-1, 128)
+
+    r_iota = jnp.arange(WR, dtype=jnp.int32)[None, :]
+    win0 = jnp.zeros((KC, W), jnp.float32)
+    winS = jnp.zeros((KC, W), jnp.float32)
+    for off in offs:
+        orow, ores = off >> 7, off & 127    # static floor split
+        ridx = rows0[:, None] + jnp.int32(orow) + r_iota
+        wide = jnp.take(ext2d, ridx, axis=0).reshape(KC, WR * 128)
+        win0 = win0 + jax.lax.slice(wide, (0, ores), (KC, ores + W))
+        winS = winS + jax.lax.slice(wide, (0, ores + 1),
+                                    (KC, ores + 1 + W))
+
+    l_iota = jnp.arange(128, dtype=jnp.int32)[None, None, :]
+    h_iota = jnp.arange(H, dtype=jnp.int32)[None, None, :]
 
     def do_chunk(_, c):
         loc = jax.lax.dynamic_slice_in_dim(local, c * chunk, chunk, 0)
         f = jax.lax.dynamic_slice_in_dim(fr, c * chunk, chunk, 0)
-        anc = jax.lax.dynamic_slice_in_dim(anchor, c * chunk, chunk, 0)
-        Wm = ((widx == loc[:, :, None]).astype(jnp.float32)
-              * (jnp.float32(1.0) - f[:, :, None])
-              + (widx == loc[:, :, None] + 1).astype(jnp.float32)
-              * f[:, :, None])
-        win = jnp.zeros((chunk, W), jnp.float32)
-        for h in range(H):
-            anc_h = jnp.mod(anc + head_off_w[h], n)
-            win = win + jax.vmap(
-                lambda a: jax.lax.dynamic_slice(audio_ext, (a,), (W,)))(anc_h)
-        y = jnp.einsum("kbw,kw->kb", Wm, win,
-                       precision=jax.lax.Precision.HIGHEST)
+        w0 = jax.lax.dynamic_slice_in_dim(win0, c * chunk, chunk, 0) \
+            .reshape(chunk, H, 128)
+        wS = jax.lax.dynamic_slice_in_dim(winS, c * chunk, chunk, 0) \
+            .reshape(chunk, H, 128)
+        lo = loc & 127
+        hi = loc >> 7
+        oh_lo = (l_iota == lo[:, :, None]).astype(jnp.float32)
+        oh_hi = (h_iota == hi[:, :, None]).astype(jnp.float32)
+
+        def sel(w3):
+            s = jnp.einsum("kbl,khl->kbh", oh_lo, w3,
+                           precision=jax.lax.Precision.HIGHEST)
+            return jnp.sum(oh_hi * s, axis=-1)
+
+        x0 = sel(w0)
+        x1 = sel(wS)                        # winS[local] == win0[local+1]
+        y = x0 * (jnp.float32(1.0) - f) + x1 * f
         return None, y
 
     _, ys = jax.lax.scan(do_chunk, None,
                          jnp.arange(KC // chunk, dtype=jnp.int32))
     return ys.reshape(-1)[:T]
+
+
+def _read_blockwise_multi(audio, whole, frac, head_offs, span_blocks: int,
+                          read_block: int = 128, chunk: int = 256):
+    """Multi-head read for INTEGER head offsets (static tuple)."""
+    return _read_blockwise_heads(audio, whole, frac, tuple(head_offs),
+                                 span_blocks, read_block, chunk)
 
 
 def _read_blockwise(audio, whole, frac, span_blocks: int,
                     read_block: int = 128, chunk: int = 256):
-    """Wrap-around fractional read via blockwise one-hot MXU matmuls.
-
-    TPU element gathers cost ~50 ns each (3 heads x 1.4 M samples ~ 0.4 s);
-    but scrub positions move at most `span_blocks` samples per output sample
-    (MAX_TAPE_SPEED clamp) and jumps land on block boundaries, so each
-    read_block of outputs touches a bounded contiguous (mod n) input window.
-    The lerp becomes an equality-built one-hot matrix times the window —
-    the same two nonzero products per row as gather_linear_wrap, so results
-    agree to MXU f32 rounding."""
-    n = audio.shape[0]
-    T = whole.shape[0]
-    B = read_block
-    W = 2 * span_blocks * B + 16
-    K = T // B
-    KC = -(-K // chunk) * chunk
-
-    pw = jnp.mod(whole, n).reshape(K, B)
-    fr = (frac.astype(jnp.float32) * fixq.POS_INV_F).reshape(K, B)
-    pad = KC - K
-    if pad:
-        pw = jnp.concatenate([pw, jnp.zeros((pad, B), pw.dtype)])
-        fr = jnp.concatenate([fr, jnp.zeros((pad, B), fr.dtype)])
-    anchor = jnp.mod(pw[:, 0] - jnp.int32(span_blocks * B + 4), n)
-    local = jnp.mod(pw - anchor[:, None], n)
-
-    audio_ext = jnp.concatenate([audio, audio[: W + 2]])
-    widx = jnp.arange(W, dtype=jnp.int32)[None, None, :]
-
-    def do_chunk(_, c):
-        sl = slice(None)
-        del sl
-        loc = jax.lax.dynamic_slice_in_dim(local, c * chunk, chunk, 0)
-        f = jax.lax.dynamic_slice_in_dim(fr, c * chunk, chunk, 0)
-        anc = jax.lax.dynamic_slice_in_dim(anchor, c * chunk, chunk, 0)
-        Wm = ((widx == loc[:, :, None]).astype(jnp.float32)
-              * (jnp.float32(1.0) - f[:, :, None])
-              + (widx == loc[:, :, None] + 1).astype(jnp.float32)
-              * f[:, :, None])
-        win = jax.vmap(lambda a: jax.lax.dynamic_slice(audio_ext, (a,),
-                                                       (W,)))(anc)
-        y = jnp.einsum("kbw,kw->kb", Wm, win,
-                       precision=jax.lax.Precision.HIGHEST)
-        return None, y
-
-    _, ys = jax.lax.scan(do_chunk, None,
-                         jnp.arange(KC // chunk, dtype=jnp.int32))
-    return ys.reshape(-1)[:T]
+    """Single-window read (per-head positions already offset)."""
+    return _read_blockwise_heads(audio, whole, frac, (0,), span_blocks,
+                                 read_block, chunk)
 
 
-@partial(jax.jit,
-         static_argnames=("block_size", "span_blocks", "heads_integer",
-                          "out_i16", "interp", "stereo"))
 def scrub_render_kernel(audio, base_inc_q, js_q, seed, mod_consts,
                         jump_flags, seg_bases_whole, seg_bases_frac,
                         env_blocks, head_off_whole, head_off_frac, head_gain,
                         block_size: int, span_blocks: int = 1,
                         heads_integer: bool = False, out_i16: bool = False,
                         interp: str = "linear", stereo: bool = False):
+    """Public wrapper: lifts the (per-program constant) integer head
+    offsets to a STATIC tuple so the blockwise read can turn them into
+    static row/column window shifts (one compile per head layout)."""
+    head_offs = tuple(int(v) for v in np.asarray(head_off_whole))
+    return _scrub_render_jit(
+        audio, base_inc_q, js_q, seed, mod_consts, jump_flags,
+        seg_bases_whole, seg_bases_frac, env_blocks, head_off_whole,
+        head_off_frac, head_gain, block_size=block_size,
+        span_blocks=span_blocks, heads_integer=heads_integer,
+        out_i16=out_i16, interp=interp, stereo=stereo,
+        head_offs=head_offs)
+
+
+@partial(jax.jit,
+         static_argnames=("block_size", "span_blocks", "heads_integer",
+                          "out_i16", "interp", "stereo", "head_offs"))
+def _scrub_render_jit(audio, base_inc_q, js_q, seed, mod_consts,
+                      jump_flags, seg_bases_whole, seg_bases_frac,
+                      env_blocks, head_off_whole, head_off_frac, head_gain,
+                      block_size: int, span_blocks: int = 1,
+                      heads_integer: bool = False, out_i16: bool = False,
+                      interp: str = "linear", stereo: bool = False,
+                      head_offs: tuple = ()):
     """Fully parallel scrub render: on-device increment synthesis (detmath
     LFOs + counter-noise jitter, bit-identical to the NumPy twin) ->
     segmented fixed-point prefix sum (exclusive) -> per-head wrap-around
@@ -441,8 +480,9 @@ def scrub_render_kernel(audio, base_inc_q, js_q, seed, mod_consts,
             f2 = f2 - (c2 << fixq.POS_FRAC_BITS)
             buf = buf + fixq.gather_sinc_wrap(audio, w2, f2)
     elif use_blockwise and heads_integer:
-        # integer head offsets: shared one-hot matrix, summed windows
-        buf = _read_blockwise_multi(audio, whole, frac, head_off_whole,
+        # integer head offsets (static): summed row-aligned windows, one
+        # shared one-hot selection
+        buf = _read_blockwise_multi(audio, whole, frac, head_offs,
                                     span_blocks)
     else:
         buf = jnp.zeros(T, jnp.float32)

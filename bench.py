@@ -110,10 +110,12 @@ def bench_tape(extras):
     """Config 1: chopped varispeed render, mixed speeds fwd/rev,
     duration-preserving retime (BASELINE.json config 1).
 
-    STEREO 48 kHz per the north-star metric text: channels are duplicated
-    on DEVICE (the reference app is mono, Tape…py:14-47 — a stereo export
-    of it carries the same samples on both channels) and the timed d2h
-    pull carries the full stereo PCM16 bytes.
+    STEREO 48 kHz per the north-star metric text.  The reference app is
+    mono (Tape…py:14-47); a stereo export of it carries IDENTICAL samples
+    on both channels, so the render pulls mono PCM16 and duplicates the
+    channel on the host INSIDE the timed region — pulling duplicated
+    bytes through the ~40 MB/s tunnel would only time the link twice,
+    not the render.  (The host duplication is ~10 ms; it is counted.)
 
     The tape is loaded to the device once (load != render, exactly like the
     reference app's load_audio vs provide_samples split); each timed render
@@ -142,9 +144,11 @@ def bench_tape(extras):
 
     def run():
         # int16 PCM pull: the reference's output format (PCM_16 WAV,
-        # Tape…py:342) at half the d2h bytes; stereo per the metric
+        # Tape…py:342) at half the d2h bytes; mono pull -> host channel
+        # duplication (identical samples by construction), inside timing
         prog = tape.build_tape_program(adev, params, frames, with_mod=False)
-        out["y"] = tape.tape_table_render(prog, out_i16=True, stereo=True)[0]
+        mono = tape.tape_table_render(prog, out_i16=True)[0]
+        out["y"] = np.repeat(mono[:, None], 2, axis=1)
 
     wall = _time_best(run, check=out)
 
@@ -191,9 +195,11 @@ def bench_tape(extras):
 def bench_scrub(extras):
     """Config 2: multi-head gestural scrub over a scripted trace.
 
-    STEREO: the reference writes the same block to both output channels
-    (scrubber_0.7.py:233-234); the duplication happens on DEVICE and the
-    timed pull carries stereo PCM16 bytes."""
+    STEREO: the reference writes the SAME block to both output channels
+    (scrubber_0.7.py:233-234), so the render pulls mono PCM16 and
+    duplicates the channel on the host inside the timed region (pulling
+    duplicated bytes would only time the tunnel twice)."""
+    import numpy as np
     from audio_suite_tpu.models import scrub
 
     sr = 48000
@@ -209,8 +215,8 @@ def bench_scrub(extras):
     audio_sec = blocks * scrub.BLOCK_SIZE / sr
 
     def run():
-        out["y"] = scrub.render_scrub(audio, cfg, trace, pcm16=True,
-                                      stereo=True)
+        mono = scrub.render_scrub(audio, cfg, trace, pcm16=True)
+        out["y"] = np.repeat(mono[:, None], 2, axis=1)
 
     wall = _time_best(run, check=out)
 
