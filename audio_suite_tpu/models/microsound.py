@@ -855,6 +855,49 @@ def _micro_last(prog: dict, cfg: ChainCfg):
     return np.asarray(x)[: int(prog["n"][-1])]
 
 
+_SPACE_KERNEL_CACHE: dict = {}
+
+
+def _space_kernels(p: MicrosoundParams, ir_audio):
+    """ER tap kernel, IR kernel, and (by conv associativity) their combined
+    form — memoized on the ER params + IR content digest.  The host f64
+    np.convolve of er*ir (~8k x 8k taps) cost ~40 ms PER RENDER on a
+    single core; params-tweak loops re-render with the same space setup."""
+    import hashlib
+
+    ir_on = bool(p.space_ir_on) and ir_audio is not None
+    irm = None
+    if ir_on:
+        irm = np.asarray(ir_audio, np.float64)
+        if irm.ndim > 1:
+            irm = irm.mean(axis=1)
+        irm = irm[: int(p.space_ir_max_samps)]
+        irm = irm[: min(irm.size, 8192)]       # convolve_ir_short cap (:441)
+        ir_on = irm.size >= 8
+
+    key = (bool(p.er_cloud_on), int(p.er_taps), float(p.er_max_ms),
+           int(p.base_sr), int(p.seed),
+           hashlib.blake2b(irm.tobytes(), digest_size=16).digest()
+           if ir_on else None)
+    hit = _SPACE_KERNEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    er_kernel = np.zeros(2, np.float32)
+    if p.er_cloud_on:
+        er_kernel = space.er_tap_kernel(int(p.er_taps), float(p.er_max_ms),
+                                        int(p.base_sr), int(p.seed))
+    ir_kernel = irm.astype(np.float32) if ir_on else np.zeros(2, np.float32)
+    if p.er_cloud_on and ir_on:
+        # conv associativity: one partitioned conv with the combined kernel
+        er_kernel = np.convolve(er_kernel.astype(np.float64),
+                                irm).astype(np.float32)
+    if len(_SPACE_KERNEL_CACHE) >= 8:
+        _SPACE_KERNEL_CACHE.pop(next(iter(_SPACE_KERNEL_CACHE)))
+    _SPACE_KERNEL_CACHE[key] = (er_kernel, ir_kernel, ir_on)
+    return er_kernel, ir_kernel, ir_on
+
+
 def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
            event_chunk: int | None = None, progress=None,
            want_micro_last: bool = False, pcm16: bool = False,
@@ -870,25 +913,7 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
     prog = build_program(p, ir_audio=ir_audio, img_gray=img_gray)
     out_n = prog["out_n"]
 
-    er_kernel = np.zeros(2, np.float32)
-    if p.er_cloud_on:
-        er_kernel = space.er_tap_kernel(int(p.er_taps), float(p.er_max_ms),
-                                        int(p.base_sr), int(p.seed))
-    ir_kernel = np.zeros(2, np.float32)
-    ir_on = bool(p.space_ir_on) and ir_audio is not None
-    if ir_on:
-        irm = np.asarray(ir_audio, np.float64)
-        if irm.ndim > 1:
-            irm = irm.mean(axis=1)
-        irm = irm[: int(p.space_ir_max_samps)]
-        irm = irm[: min(irm.size, 8192)]       # convolve_ir_short cap (:441)
-        ir_on = irm.size >= 8
-        ir_kernel = irm.astype(np.float32) if ir_on else ir_kernel
-    if p.er_cloud_on and ir_on:
-        # conv associativity: one partitioned conv with the combined kernel
-        er_kernel = np.convolve(er_kernel.astype(np.float64),
-                                ir_kernel.astype(np.float64)) \
-            .astype(np.float32)
+    er_kernel, ir_kernel, ir_on = _space_kernels(p, ir_audio)
     fx = FxCfg(out_n=out_n, sr=int(p.base_sr),
                env=(float(p.env_a), float(p.env_d), float(p.env_s),
                     float(p.env_r), float(p.env_curve)),
