@@ -421,15 +421,31 @@ def scrub_render_kernel(audio, base_inc_q, js_q, seed, mod_consts,
                         interp: str = "linear", stereo: bool = False):
     """Public wrapper: lifts the (per-program constant) integer head
     offsets to a STATIC tuple so the blockwise read can turn them into
-    static row/column window shifts (one compile per head layout)."""
+    static row/column window shifts (one compile per head layout).
+
+    The stereo export duplicates the MONO kernel's output in a separate
+    tiny jit instead of compiling a stereo kernel variant: XLA's FMA
+    contraction choices can differ between compilations of the same
+    math, so running one compiled kernel is the only way to guarantee
+    the stereo channels carry bit-identical samples to the mono render
+    (the reference writes the same block to both channels,
+    scrubber_0.7.py:233-234)."""
     head_offs = tuple(int(v) for v in np.asarray(head_off_whole))
-    return _scrub_render_jit(
+    y = _scrub_render_jit(
         audio, base_inc_q, js_q, seed, mod_consts, jump_flags,
         seg_bases_whole, seg_bases_frac, env_blocks, head_off_whole,
         head_off_frac, head_gain, block_size=block_size,
         span_blocks=span_blocks, heads_integer=heads_integer,
-        out_i16=out_i16, interp=interp, stereo=stereo,
+        out_i16=out_i16, interp=interp, stereo=False,
         head_offs=head_offs)
+    if stereo:
+        y = _dup_stereo(y)
+    return y
+
+
+@jax.jit
+def _dup_stereo(y):
+    return jnp.stack([y, y], axis=-1)
 
 
 @partial(jax.jit,
