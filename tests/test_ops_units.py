@@ -276,3 +276,75 @@ def test_sinc_mode_through_engines():
     assert s_snc.shape == s_lin.shape and np.isfinite(s_snc).all()
     assert np.abs(s_lin).max() > 1e-3 and np.abs(s_snc).max() > 1e-3
     assert not np.array_equal(s_snc, s_lin)
+
+
+def test_blockwise_read_vs_gather():
+    """The scrub blockwise read (row-aligned fetch + two-level one-hot MXU
+    selection) must equal the per-element gather_linear_wrap to ~ulp on a
+    random walk with reverse motion and wrap, for every head layout."""
+    from audio_suite_tpu.models import scrub
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    audio = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    T = 128 * 96
+    inc = rng.uniform(-1.0, 1.0, T)
+    pos = (np.cumsum(inc) * (1 << fixq.POS_FRAC_BITS)).astype(np.int64) \
+        + 123456
+    whole = jnp.asarray(((pos >> fixq.POS_FRAC_BITS) % n).astype(np.int32))
+    frac = jnp.asarray(
+        (pos & ((1 << fixq.POS_FRAC_BITS) - 1)).astype(np.int32))
+
+    for offs in [(0,), (-2000, 0, 2000), (-150, 37)]:
+        got = np.asarray(
+            scrub._read_blockwise_heads(audio, whole, frac, offs, 1))
+        want = np.zeros(T, np.float32)
+        for off in offs:
+            w2 = jnp.mod(whole + off, n)
+            want += np.asarray(fixq.gather_linear_wrap(audio, w2, frac))
+        # head-window sums reorder f32 adds: a few ulp, never more
+        assert float(np.max(np.abs(got - want))) < 2e-6, offs
+
+
+def test_lowpass_stretch_shared_is_exact_gather_lerp():
+    """The shared-stretch spectral kernel's one-hot MXU selection must
+    equal a direct per-bin gather+lerp of the lowpassed spectrum (one
+    nonzero product per output row), at every window-size bucket the
+    static stretch hint can produce."""
+    from audio_suite_tpu.ops import spectral
+
+    rng = np.random.default_rng(1)
+    E, L = 5, 2048
+    x = rng.standard_normal((E, L)).astype(np.float32)
+    sr_v = (192000.0 * rng.uniform(0.5, 1.0, E)).astype(np.float32)
+    cut = np.full(E, 18000.0, np.float32)
+
+    for factor in (4.0, 1.7, 0.5, 0.26):
+        hint = max(0.25, 1.0 / factor)
+        got = np.asarray(spectral.lowpass_stretch_fused_shared(
+            jnp.asarray(x), jnp.asarray(sr_v), jnp.asarray(cut),
+            np.float32(factor), roll=2500.0, max_scale=hint))
+
+        # direct reference: same jnp FFTs, gather+lerp selection
+        X = jnp.fft.rfft(jnp.asarray(x))
+        nf = X.shape[-1]
+        g = jnp.stack([spectral._lowpass_gain(L, float(s), float(c), 2500.0)
+                       for s, c in zip(sr_v, cut)])
+        Xg = X * g
+        scale = np.float32(1.0) / np.float32(factor)
+        pos = jnp.arange(nf, dtype=jnp.float32) * scale
+        valid = (pos >= 0.0) & (pos <= np.float32(nf - 1))
+        i0 = jnp.clip(jnp.floor(pos), 0.0, np.float32(nf - 2))
+        t = pos - i0
+        i0 = i0.astype(jnp.int32)
+        X0, X1 = Xg[:, i0], Xg[:, i0 + 1]
+
+        def lerp(a, b):
+            return a * (np.float32(1.0) - t) + b * t
+
+        Y = (lerp(X0.real, X1.real) + 1j * lerp(X0.imag, X1.imag)) \
+            * valid.astype(jnp.float32)
+        want = np.asarray(jnp.fft.irfft(Y, n=L).astype(jnp.float32))
+        dev = float(np.max(np.abs(got - want)))
+        # identical selection; only the final irfft rounding differs
+        assert dev < 2e-6, (factor, dev)
