@@ -249,6 +249,11 @@ def build_tape_program(audio, params: TapeParams, num_frames: int,
     }
 
 
+@jax.jit
+def _dup_stereo(y):
+    return jnp.stack([y, y], axis=-1)
+
+
 def _pad_pow2(arr, fill, min_len=4):
     """Pad a 1-D int array to the next power-of-two length (static-shape
     bucketing: table sizes stop forcing fresh jit compiles)."""
@@ -311,12 +316,49 @@ def tape_table_render(prog: dict, out_i16: bool = False,
             if len(tables["triggers"]) else np.zeros(0, np.int32))
 
     ints, flts, ph0 = prog["mod_consts"]
+
+    # blockwise-read feasibility (host decision, static): the span bound
+    # comes from the run speeds x the wow/flutter depth; the patch cap
+    # bounds visit starts + worst-case section-loop wraps
+    # (T*max_inc/min_sec_len).  Unbounded (pathological marker spacing)
+    # or tiny tapes fall back to the pair gather.
+    span_b, cap = 0, 0
+    if interp == "linear":
+        s0v = np.asarray(tables["run_s0"], np.int64)
+        rmv = np.asarray(tables["run_m"], np.int64)
+        rsv = np.asarray(tables["run_start"], np.int64)
+        if s0v.size:
+            run_len = np.diff(np.append(rsv, T))
+            ends_spd = s0v + rmv * np.maximum(0, run_len)
+            max_spd = max(np.abs(s0v).max(), np.abs(ends_spd).max()) \
+                * float(fixq.POS_INV_F)
+        else:
+            max_spd = float(consts.initial_speed_q)
+        wd, fd = float(flts[2]), float(flts[3])
+        max_inc = max_spd * (1.0 + wd + fd) + 1e-6
+        span_samples = int(np.ceil(max_inc)) + 1
+        span_b = 1 << max(2, (max(1, span_samples) - 1).bit_length())
+        sec_len = np.maximum(1, np.asarray(prog["ends"], np.int64)
+                             - np.asarray(prog["starts"], np.int64))
+        wraps = int(T * max_inc / float(sec_len.min()))
+        bound = wraps + len(tables["visit_start"]) + 8
+        cap = 1 << max(6, (bound - 1).bit_length())
+        n_aud = int(prog["audio"].shape[0])
+        if cap > 2048 or n_aud <= 2 * span_b * 128 + 256:
+            span_b, cap = 0, 0
+
     out = varispeed.tape_device_render(
         prog["audio"], ints, flts, ph0,
         vs, bw, bf, vsec, rs, s0, rm,
         prog["starts"], prog["ends"], prog["reverse"], prog["boundaries"],
         trig, prog["splice_env"],
-        consts, t_pad, out_i16, interp, stereo, n_valid=jnp.int32(T))
+        consts, t_pad, out_i16, interp, False, n_valid=jnp.int32(T),
+        blockwise_span=span_b, patch_cap=cap)
+    if stereo:
+        # duplicate the MONO kernel's output in a separate tiny jit: a
+        # stereo kernel variant is a second XLA compilation whose FMA
+        # contraction choices may drift 1 ulp from the mono render
+        out = _dup_stereo(out)
     if device_out:
         # PADDED buffer (zero beyond T): slicing to the exact T here would
         # compile a fresh XLA slice kernel for every distinct frame count
