@@ -323,7 +323,7 @@ def tape_table_render(prog: dict, out_i16: bool = False,
     # (T*max_inc/min_sec_len).  Unbounded (pathological marker spacing)
     # or tiny tapes fall back to the pair gather.
     span_b, cap = 0, 0
-    if interp == "linear":
+    if interp in ("linear", "sinc"):
         s0v = np.asarray(tables["run_s0"], np.int64)
         rmv = np.asarray(tables["run_m"], np.int64)
         rsv = np.asarray(tables["run_start"], np.int64)

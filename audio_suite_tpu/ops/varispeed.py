@@ -778,6 +778,141 @@ def _tape_read_blockwise(audio, idx0, fr, span_blocks: int, patch_cap: int,
     return s.at[flat].set(pv)
 
 
+def _tape_read_blockwise_sinc(audio, idx0, fr, span_blocks: int,
+                              patch_cap: int, taps: int = 16,
+                              chunk: int = 256):
+    """Blockwise 16-tap Lanczos sinc read (quality mode): the SAME
+    row-aligned window fetch and one-hot selection as the linear read —
+    the taps are 16 one-column-shifted views of one window, selected with
+    ONE shared pair of one-hots and accumulated in the exact tap order of
+    fixq._sinc_weight_dot (tolerance twins, 1e-5).  The packed [n, taps]
+    row-gather form cost ~34 ns/row (315 ms for a 3-minute tape on v5e);
+    the window fetch is shared work.  Edge semantics match
+    fixq.gather_sinc_clip: indices clamp to [0, n-1] (the ext lead-in is
+    audio[0]-filled, the tail audio[n-1]-filled).  Bad blocks (visit
+    starts, section-loop wraps) are detected and patched with the
+    canonical gather_sinc_clip values."""
+    from . import fixq as _fx
+    n = audio.shape[0]
+    T = idx0.shape[0]
+    B = 128
+    half = taps // 2
+    Wold = 2 * span_blocks * B + 16
+    W = -(-(Wold + 256 + taps + 2) // 128) * 128
+    H = W // 128
+    WR = H + 1
+    K = T // B
+    KC = -(-K // chunk) * chunk
+
+    pw = idx0.reshape(K, B)
+    f2 = fr.reshape(K, B)
+    anchor = pw[:, 0] - jnp.int32(span_blocks * B + 4)
+    d = pw - anchor[:, None]
+    ok = jnp.all((d >= 0) & (d < Wold), axis=1)
+    d = jnp.clip(d, 0, Wold - 1)
+
+    bias = ((span_blocks * B + 4 + 127) // 128) * 128 + 256
+    q = anchor + jnp.int32(bias)
+    # window starts one row EARLY so tap t's static column shift
+    # (t - (half-1) relative to the sample) stays non-negative:
+    # ext[rows0*128 + local + t] == ext[bias + pw + (t - half + 1)]
+    rows0 = (q >> 7) - 1
+    local = d + (q - ((q >> 7) << 7))[:, None] + jnp.int32(129 - half)
+
+    total = bias + n + W + 384
+    padded = -(-total // 128) * 128
+    ext2d = jnp.concatenate([
+        jnp.full(bias, audio[0], audio.dtype), audio,
+        jnp.full(padded - bias - n, audio[n - 1], audio.dtype)]) \
+        .reshape(-1, 128)
+    # lead-in is audio[0]-filled: tap indices idx0 + j reach down to
+    # j = -(half-1), which must clamp to audio[0] exactly like
+    # gather_sinc_clip's edge-padded shifts
+
+    if KC > K:
+        pad = KC - K
+        rows0 = jnp.concatenate([rows0, jnp.zeros(pad, rows0.dtype)])
+        local = jnp.concatenate([local, jnp.zeros((pad, B), local.dtype)])
+        f2 = jnp.concatenate([f2, jnp.zeros((pad, B), f2.dtype)])
+
+    ridx = rows0[:, None] + jnp.arange(WR, dtype=jnp.int32)[None, :]
+    wide = jnp.take(ext2d, ridx, axis=0).reshape(KC, WR * 128)
+
+    h_iota = jnp.arange(H, dtype=jnp.int32)[None, None, :]
+    pi = float(np.pi)
+    lane = jnp.arange(256, dtype=jnp.int32)[None, None, :]
+
+    def do_chunk(_, c):
+        loc = jax.lax.dynamic_slice_in_dim(local, c * chunk, chunk, 0)
+        ff = jax.lax.dynamic_slice_in_dim(f2, c * chunk, chunk, 0)
+        wd = jax.lax.dynamic_slice_in_dim(wide, c * chunk, chunk, 0)
+        w3 = wd.reshape(chunk, WR, 128)
+        lo = loc & 127
+        hi = loc >> 7
+
+        # the 16 taps of a sample live in at most TWO 128-lane rows of its
+        # window: select both rows with one MXU einsum each, then fold the
+        # tap WEIGHTS into a single multi-hot over the 256-lane pair and
+        # reduce once — 16 separate one-hot selections cost ~16x the
+        # contraction flops and dominated the read
+        oh_hi0 = (h_iota == hi[:, :, None]).astype(jnp.float32)
+        oh_hi1 = (h_iota == (hi + 1)[:, :, None]).astype(jnp.float32)
+        row0 = jnp.einsum("kbh,khl->kbl", oh_hi0, w3[:, :H],
+                          precision=jax.lax.Precision.HIGHEST)
+        row1 = jnp.einsum("kbh,khl->kbl", oh_hi1, w3[:, :H],
+                          precision=jax.lax.Precision.HIGHEST)
+        pair = jnp.concatenate([row0, row1], axis=-1)   # [k, B, 256]
+
+        # Lanczos weights by angle addition: at integer tap offsets,
+        # sin(pi*(j-f)) = -(-1)^j sin(pi f) and sin(pi*(j-f)/half) expands
+        # over static sin/cos(pi j/half) — THREE transcendentals per
+        # sample instead of 2 per tap.  Agrees with fixq._lanczos_w to
+        # ~ulp (the sinc twins are tolerance-based, 1e-5).
+        sf = jnp.sin(jnp.float32(pi) * ff)
+        sf8 = jnp.sin(jnp.float32(pi / half) * ff)
+        cf8 = jnp.cos(jnp.float32(pi / half) * ff)
+
+        ohw = jnp.zeros((chunk, B, 256), jnp.float32)
+        wsum = jnp.zeros((chunk, B), jnp.float32)
+        for t, j in enumerate(range(-half + 1, half + 1)):
+            x = jnp.float32(j) - ff
+            xs = jnp.where(x == 0.0, jnp.float32(1.0), x)
+            sj = float(np.sin(pi * j / half))
+            cj = float(np.cos(pi * j / half))
+            s1 = (jnp.float32(-((-1.0) ** j)) * sf) / (jnp.float32(pi) * xs)
+            s2 = (jnp.float32(sj) * cf8 - jnp.float32(cj) * sf8) \
+                / (jnp.float32(pi / half) * xs)
+            w = jnp.where(x == 0.0, jnp.float32(1.0),
+                          jnp.where(jnp.abs(x) < half, s1 * s2,
+                                    jnp.float32(0.0)))
+            ohw = ohw + (lane == (lo + t)[:, :, None]) * w[:, :, None]
+            wsum = wsum + w
+        acc = jnp.sum(ohw * pair, axis=-1)
+        return None, acc / wsum
+
+    _, ys = jax.lax.scan(do_chunk, None,
+                         jnp.arange(KC // chunk, dtype=jnp.int32))
+    s = ys.reshape(-1)[:T]
+
+    score = (~ok).astype(jnp.int32) * K \
+        + (K - 1 - jnp.arange(K, dtype=jnp.int32))
+    _, bad_ids = jax.lax.top_k(score, patch_cap)
+    flat = (bad_ids[:, None] * B
+            + jnp.arange(B, dtype=jnp.int32)[None, :]).reshape(-1)
+    gi = idx0[flat]
+    # canonical clip-mode sinc values for the patched samples; fr here is
+    # already f32 (the kernel's fraction), so inline the weight dot on
+    # per-tap clamped gathers (small: patch_cap*128 rows)
+    gf = fr[flat]
+    acc = jnp.zeros(flat.shape, jnp.float32)
+    wsum = jnp.zeros(flat.shape, jnp.float32)
+    for j in range(-half + 1, half + 1):
+        w = _fx._lanczos_w(jnp.float32(j) - gf, half)
+        acc = acc + w * audio[jnp.clip(gi + j, 0, n - 1)]
+        wsum = wsum + w
+    return s.at[flat].set(acc / wsum)
+
+
 @partial(jax.jit, static_argnames=("consts", "t_total", "out_i16",
                                   "interp", "stereo", "blockwise_span",
                                   "patch_cap"))
@@ -863,7 +998,13 @@ def tape_device_render(audio, mod_ints, mod_flts, phase0,
         from .fixq import POS_ONE as _PO
         fq = jnp.rint(fr * jnp.float32(_PO)).astype(jnp.int32)
         from . import fixq as _fx
-        s = _fx.gather_sinc_clip(audio, idx0, fq)
+        if blockwise_span > 0:
+            # same fraction quantization roundtrip as gather_sinc_clip
+            frq = fq.astype(jnp.float32) * POS_INV_F
+            s = _tape_read_blockwise_sinc(audio, idx0, frq, blockwise_span,
+                                          patch_cap)
+        else:
+            s = _fx.gather_sinc_clip(audio, idx0, fq)
     elif blockwise_span > 0:
         # row-aligned blockwise MXU read with detect-and-patch (the pair
         # gather cost ~7 ns/element — 57 ms of the 3-min render)
