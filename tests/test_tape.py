@@ -384,3 +384,42 @@ def test_native_tables_fast_path_equal_numpy(audio):
             assert np.array_equal(a[k], b[k]), (trial, k)
         assert np.array_equal(expand(a, T), expand(b, T)), trial
         assert a["final"] == b["final"], trial
+
+
+def test_param_tweaks_reuse_compiled_kernels(audio):
+    """A fresh program per param tweak must NOT mint new XLA kernels: the
+    round-3 regression was ~2 s of hidden slice/drain recompiles per
+    distinct frame count (out[:T] slicing, per-length pulls), which
+    dominated every fresh-program render.  Pin: the render kernel's jit
+    cache stays flat across tweaked programs, the padded output shape is
+    bucket-stable, and the trigger tables stay in one shape bucket."""
+    import dataclasses
+    from audio_suite_tpu.ops import varispeed
+
+    sr = 8000
+    n = len(audio)
+    p = tape.TapeParams(sample_rate=sr, markers=[6000, 11000],
+                        section_speeds=[1.0, 2.0, 0.5],
+                        section_reverse=[False, True, False],
+                        tape_age=60, enable_splice_fx=True,
+                        anticlick_enabled=True)
+    fr = tape.section_render_length(p, n)
+    prog = tape.build_tape_program(audio, p, fr)
+    y0, _ = tape.tape_table_render(prog, device_out=True)
+    base_cache = varispeed.tape_device_render._cache_size()
+    shapes = {np.asarray(y0).shape}
+    for it in range(4):
+        pp = dataclasses.replace(
+            p, section_speeds=list(p.section_speeds),
+            section_reverse=list(p.section_reverse))
+        pp.section_speeds[it % 3] *= (1.0 + 0.003 * (1 + it))
+        fr2 = tape.section_render_length(pp, n)
+        prog2 = tape.build_tape_program(audio, pp, fr2)
+        y, _ = tape.tape_table_render(prog2, device_out=True)
+        shapes.add(np.asarray(y).shape)
+        # pulled path slices to the exact frame count on the host
+        full, _ = tape.tape_table_render(prog2)
+        assert full.shape[0] == fr2
+    assert varispeed.tape_device_render._cache_size() == base_cache, \
+        "param tweaks recompiled the render kernel"
+    assert len(shapes) == 1, f"padded output shape not bucket-stable: {shapes}"
