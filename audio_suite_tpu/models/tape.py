@@ -344,7 +344,12 @@ def tape_table_render(prog: dict, out_i16: bool = False,
         bound = wraps + len(tables["visit_start"]) + 8
         cap = 1 << max(6, (bound - 1).bit_length())
         n_aud = int(prog["audio"].shape[0])
-        if cap > 2048 or n_aud <= 2 * span_b * 128 + 256:
+        n_blocks = t_pad // 128
+        if (cap > 2048 or cap > n_blocks // 2
+                or n_aud <= 2 * span_b * 128 + 256):
+            # patch set unbounded, would cover most blocks (top_k k must
+            # not exceed the block count), or the tape is too small for
+            # the window: the pair gather is the right engine
             span_b, cap = 0, 0
 
     out = varispeed.tape_device_render(

@@ -423,3 +423,18 @@ def test_param_tweaks_reuse_compiled_kernels(audio):
     assert varispeed.tape_device_render._cache_size() == base_cache, \
         "param tweaks recompiled the render kernel"
     assert len(shapes) == 1, f"padded output shape not bucket-stable: {shapes}"
+
+
+def test_pathological_markers_fall_back_to_gather(audio):
+    """Dense marker spacing makes the blockwise read's section-wrap patch
+    set unbounded (or larger than the block count, which would crash
+    top_k): the host feasibility check must fall back to the pair-gather
+    engine and still render, for both interpolation modes."""
+    sr = 8000
+    p = tape.TapeParams(sample_rate=sr,
+                        markers=list(range(100, 15900, 150)),
+                        section_speeds=[1.5] * 110)
+    for interp in ("linear", "sinc"):
+        y = tape.render_tape(audio, p, 20000, interp=interp)
+        y = np.asarray(y)
+        assert y.shape[0] == 20000 and np.isfinite(y).all(), interp
