@@ -383,6 +383,11 @@ class ForestFireModel:
     batched via simulate())."""
 
     def __init__(self, params: ModelParams, seed: int = 1):
+        if params.w < 2 or params.h < 2:
+            # terrain slope/wind boosts need a gradient (model.py:79-83);
+            # fail clearly instead of np.gradient's obscure ValueError
+            raise ValueError("forest-fire grid must be at least 2x2, got "
+                             f"{params.w}x{params.h}")
         self.params = params
         self.seed = int(seed)
         self._state = init_state(params, seed)   # np arrays OR device arrays
