@@ -134,21 +134,23 @@ def main():
     t_env = time_device(lambda: env_fn(audio_dev))
     print(f"  adsr mul: {t_env*1e3:.2f} ms")
 
-    t_conv = time_device(
-        lambda: jax.jit(space.fft_convolve_causal)(audio_dev, er_d))
+    # jit ONCE outside the timed lambda: a fresh jax.jit(...) object per
+    # call misses the jit cache and re-compiles every iteration — the
+    # sub-stage numbers used to read seconds of compile time as "cost"
+    conv_fn = jax.jit(space.fft_convolve_causal)
+    t_conv = time_device(lambda: conv_fn(audio_dev, er_d))
     print(f"  partitioned conv (er*ir {er_comb.shape[0]}): "
           f"{t_conv*1e3:.2f} ms")
 
-    t_st = time_device(
-        lambda: jax.jit(lambda x: space.spectral_diffusion_stereo(
-            x, fx.sr, width=fx.stereo_width))(audio_dev))
+    st_fn = jax.jit(lambda x: space.spectral_diffusion_stereo(
+        x, fx.sr, width=fx.stereo_width))
+    t_st = time_device(lambda: st_fn(audio_dev))
     print(f"  stereo diffusion: {t_st*1e3:.2f} ms")
 
-    t_tail = time_device(
-        lambda: jax.jit(lambda x: jnp.clip(jnp.round(space.normalize(
-            space.soft_clip(jnp.stack([x, x], -1), drive=fx.sat_drive),
-            peak=fx.peak) * 32768.0), -32768.0, 32767.0).astype(jnp.int16))(
-            audio_dev))
+    tail_fn = jax.jit(lambda x: jnp.clip(jnp.round(space.normalize(
+        space.soft_clip(jnp.stack([x, x], -1), drive=fx.sat_drive),
+        peak=fx.peak) * 32768.0), -32768.0, 32767.0).astype(jnp.int16))
+    t_tail = time_device(lambda: tail_fn(audio_dev))
     print(f"  clip+norm+pcm16: {t_tail*1e3:.2f} ms")
 
 
