@@ -392,10 +392,30 @@ def bench_grid_forestfire(extras):
     return seconds / wall
 
 
+def _link_stats(extras):
+    """Measured environment context: the null-loop latency the compute
+    numbers subtract, and the d2h bandwidth that bounds every end-to-end
+    column — so a reader can tell tunnel weather from code changes."""
+    import jax
+    import jax.numpy as jnp
+
+    extras["null_loop_latency_ms"] = round(_null_loop_latency() * 1e3, 2)
+    buf = jax.jit(lambda x: x + 1)(jnp.zeros(4 << 20, jnp.int16))  # 8 MB
+    buf.block_until_ready()
+    t0 = time.perf_counter()
+    np.asarray(buf)
+    dt = time.perf_counter() - t0
+    extras["d2h_MBps"] = round(8.0 / max(1e-9, dt), 1)
+
+
 def main():
     results = {}
     failures = {}
     extras = {}
+    try:
+        _link_stats(extras)
+    except Exception:
+        pass
     import inspect
     for name, fn in [("tape", bench_tape), ("scrub", bench_scrub),
                      ("microsound", bench_microsound),
