@@ -40,7 +40,8 @@ import jax.numpy as jnp
 
 from ..events.schedulers import generate_event_times
 from ..ops import envelopes, generators, pallas_oa, space, spectral
-from ..utils.breakpoints import parse_breakpoints, eval_breakpoints
+from ..utils.breakpoints import (parse_breakpoints, eval_breakpoints,
+                                 eval_breakpoints_vec)
 from ..utils.transfer import chunked_pull
 
 GEN_MODES = (
@@ -211,8 +212,12 @@ def _event_n(mode: str, gen_sr: int, micro_ms: float, have_ir: bool) -> int:
     return int(max(16, base))
 
 
-def build_program(params: MicrosoundParams, ir_audio=None, img_gray=None):
-    """Precompute the full event program: times, per-event scalars (lengths,
+def build_program_seq(params: MicrosoundParams, ir_audio=None, img_gray=None):
+    """Scalar per-event twin of build_program — the original reference-shaped
+    loop, kept as the bit-exactness ground truth for the vectorized builder
+    (tests assert build_program == build_program_seq array-for-array).
+
+    Precomputes the full event program: times, per-event scalars (lengths,
     rates, amps, offsets — reference-exact rng(seed+123456) consumption,
     main_v2.py:618-755) and per-event auxiliary draws (rng(seed+i) streams,
     main_v2.py:219-402)."""
@@ -293,6 +298,34 @@ def build_program(params: MicrosoundParams, ir_audio=None, img_gray=None):
         ev["cutoff_gen"].append(float(cutoff_out) * ufac)
         ev["stretch"].append(float(stretch))
 
+        _event_aux_draws(p, mode, i, n, gen_sr_evt, have_ir, ir_mono,
+                         img_gray, aux)
+
+    E = len(ev["seed"])
+    prog = {
+        "out_n": out_n,
+        "E": E,
+        "gen_sr_base": int(np.clip(int(round(base_sr * base_unfold)),
+                                   base_sr, MAX_GEN_SR)),
+    }
+    if E == 0:
+        return prog
+
+    L = _next_pow2(max(ev["n"]))
+    prog["L"] = L
+    for k in ("seed", "n", "offset", "start"):
+        prog[k] = np.asarray(ev[k], np.int32)
+    for k in ("gen_sr", "inv_gen_sr", "amp", "cutoff_gen", "stretch"):
+        prog[k] = np.asarray(ev[k], np.float32)
+    _finalize_aux(p, mode, prog, aux, L)
+    return prog
+
+
+def _event_aux_draws(p, mode, i, n, gen_sr_evt, have_ir, ir_mono, img_gray,
+                     aux):
+    """Per-event auxiliary draws (rng(seed+i) streams, main_v2.py:219-402);
+    shared by the scalar twin and the vectorized builder."""
+    if mode in _AUX_MODES:
         erng = np.random.default_rng(int(p.seed) + i)
         if mode == "Dust impulses":
             k = int(max(1, round(float(p.dust_density) * n)))
@@ -348,48 +381,35 @@ def build_program(params: MicrosoundParams, ir_audio=None, img_gray=None):
                 aux["frag"].append(np.zeros(2, np.float32))
                 aux["frag_len"].append(2)
 
-        if p.res_bank_on:
-            rrng = np.random.default_rng(int(p.seed) + i + 321)
-            modes = int(max(1, p.res_modes))
-            fs, ps = [], []
-            for k in range(modes):
-                f = float(p.res_fmin) * ((float(p.res_fmax)
-                                          / max(1.0, float(p.res_fmin)))
-                                         ** (k / max(1, modes - 1)))
-                f *= 2.0 ** rrng.uniform(-0.02, 0.02)
-                ps.append(rrng.uniform(0, 2 * np.pi) / (2 * np.pi))
-                fs.append(f)
-            aux["res_f"].append(fs)
-            aux["res_ph"].append(ps)
-        if p.wg_on:
-            wrng = np.random.default_rng(int(p.seed) + i + 777)
-            ds, gs, ms = [], [], []
-            for _ in range(int(max(1, p.wg_lines))):
-                ds.append(int(max(1, round(wrng.uniform(0.4, float(p.wg_max_ms))
-                                           / 1000.0 * gen_sr_evt))))
-                gs.append(float(p.wg_fb) * wrng.uniform(0.6, 0.98))
-                ms.append(wrng.uniform(0.15, 0.45))
-            aux["wg_d"].append(ds)
-            aux["wg_g"].append(gs)
-            aux["wg_m"].append(ms)
+    if p.res_bank_on:
+        rrng = np.random.default_rng(int(p.seed) + i + 321)
+        modes = int(max(1, p.res_modes))
+        fs, ps = [], []
+        for k in range(modes):
+            f = float(p.res_fmin) * ((float(p.res_fmax)
+                                      / max(1.0, float(p.res_fmin)))
+                                     ** (k / max(1, modes - 1)))
+            f *= 2.0 ** rrng.uniform(-0.02, 0.02)
+            ps.append(rrng.uniform(0, 2 * np.pi) / (2 * np.pi))
+            fs.append(f)
+        aux["res_f"].append(fs)
+        aux["res_ph"].append(ps)
+    if p.wg_on:
+        wrng = np.random.default_rng(int(p.seed) + i + 777)
+        ds, gs, ms = [], [], []
+        for _ in range(int(max(1, p.wg_lines))):
+            ds.append(int(max(1, round(wrng.uniform(0.4, float(p.wg_max_ms))
+                                       / 1000.0 * gen_sr_evt))))
+            gs.append(float(p.wg_fb) * wrng.uniform(0.6, 0.98))
+            ms.append(wrng.uniform(0.15, 0.45))
+        aux["wg_d"].append(ds)
+        aux["wg_g"].append(gs)
+        aux["wg_m"].append(ms)
 
-    E = len(ev["seed"])
-    prog = {
-        "out_n": out_n,
-        "E": E,
-        "gen_sr_base": int(np.clip(int(round(base_sr * base_unfold)),
-                                   base_sr, MAX_GEN_SR)),
-    }
-    if E == 0:
-        return prog
 
-    L = _next_pow2(max(ev["n"]))
-    prog["L"] = L
-    for k in ("seed", "n", "offset", "start"):
-        prog[k] = np.asarray(ev[k], np.int32)
-    for k in ("gen_sr", "inv_gen_sr", "amp", "cutoff_gen", "stretch"):
-        prog[k] = np.asarray(ev[k], np.float32)
-
+def _finalize_aux(p, mode, prog, aux, L):
+    """Stack the per-event aux rows into padded program arrays; shared by
+    the scalar twin and the vectorized builder."""
     def pad2d(rows, dtype, fill=0):
         m = max((len(r) for r in rows), default=1)
         m = max(m, 1)
@@ -424,6 +444,135 @@ def build_program(params: MicrosoundParams, ir_audio=None, img_gray=None):
         prog["wg_g"] = pad2d(aux["wg_g"], np.float32)
         prog["wg_m"] = pad2d(aux["wg_m"], np.float32)
         prog["wg_dmax"] = int(prog["wg_d"].max())
+    return prog
+
+
+_AUX_MODES = ("Dust impulses", "Crackle / corona", "Wavelet atoms",
+              "IR fragment", "Image scanline")
+
+_EVENT_N_FLOORS = {"Stick–slip friction": 64, "Micro-chaos": 64,
+                   "Wavelet atoms": 128, "Image scanline": 64}
+
+
+def build_program(params: MicrosoundParams, ir_audio=None, img_gray=None):
+    """Vectorized event-program builder — the production path.
+
+    Identical output to build_program_seq (asserted array-for-array by
+    tests/test_microsound.py): the per-event breakpoint evals, clips,
+    roundings and dtype conversions are NumPy-vectorized with the same IEEE
+    op order, while the reference's sequential rng(seed+123456) stream is
+    consumed in a minimal scalar loop (one uniform per event, one bounded
+    integers draw per kept event — draw ORDER is part of the reference
+    contract, main_v2.py:618-755, so those can't batch when interleaved).
+    When grain offsets are off the whole amp stream batches into one
+    rng.uniform(size=E) call (numpy Generator draws doubles in sequence, so
+    the batched call consumes the stream identically).  The scalar loop was
+    ~125 us/event of pure Python — 29 ms per bench render, 720 ms at the
+    4000-event reference ceiling."""
+    p = params
+    base_sr = int(p.base_sr)
+    out_n = int(max(1, round(float(p.out_dur_s) * base_sr)))
+    base_unfold = max(1.0, float(p.time_unfold))
+
+    bp_density = parse_breakpoints(p.bp_density)
+    bp_unfold = parse_breakpoints(p.bp_unfold)
+    bp_cutoff = parse_breakpoints(p.bp_cutoff)
+    bp_stretch = parse_breakpoints(p.bp_stretch)
+
+    rate = float(p.grains_per_sec)
+    times = generate_event_times(
+        p.event_process, float(p.out_dur_s), rate, seed=int(p.seed),
+        cluster_size=int(p.cluster_size),
+        cluster_spread_ms=float(p.cluster_spread_ms),
+        hawkes_gain=float(p.hawkes_gain),
+        hawkes_decay_s=float(p.hawkes_decay_s))
+    times = np.asarray(times, np.float64)[: int(p.max_grains)]
+    T = times.size
+
+    rng = np.random.default_rng(int(p.seed) + 123456)
+    mode = p.gen_mode
+    have_ir = ir_audio is not None and np.asarray(ir_audio).size >= 32
+
+    ir_mono = None
+    if ir_audio is not None:
+        ir_mono = np.asarray(ir_audio, np.float64)
+        if ir_mono.ndim > 1:
+            ir_mono = ir_mono.mean(axis=1)
+
+    # vectorized per-event lanes (same IEEE arithmetic as the scalar twin)
+    dens = eval_breakpoints_vec(bp_density, times, default=rate)
+    ufac = np.maximum(1.0, eval_breakpoints_vec(bp_unfold, times,
+                                                default=base_unfold))
+    cutoff_out = eval_breakpoints_vec(bp_cutoff, times,
+                                      default=float(p.bandlimit_out_hz))
+    stretch = eval_breakpoints_vec(bp_stretch, times,
+                                   default=float(p.partial_stretch))
+    gen_sr_evt = np.clip(np.rint(base_sr * ufac).astype(np.int64),
+                         base_sr, MAX_GEN_SR)
+    floor_n = 64 if (mode == "IR fragment" and have_ir) else \
+        _EVENT_N_FLOORS.get(mode, 16)
+    n_ev = np.maximum(floor_n,
+                      np.rint(gen_sr_evt * float(p.micro_ms) / 1000.0)
+                      .astype(np.int64))
+    start = np.rint(times * base_sr).astype(np.int64)
+    keep = start < out_n
+    amp_base = np.ones(T, np.float64)
+    if rate > 0:
+        amp_base = np.clip(dens / max(1e-6, rate), 0.15, 4.0)
+
+    # the reference's sequential draw order: one amp uniform per event,
+    # then (kept events only) one bounded integers draw
+    max_off = 0
+    if p.grain_offset_on:
+        max_off = int(round(float(p.grain_offset_max_ms) / 1000.0 * base_sr))
+    lo_a = 1.0 - float(p.grain_amp_rand)
+    hi_a = 1.0 + float(p.grain_amp_rand)
+    amp_u = np.empty(T, np.float64)
+    offs = np.zeros(T, np.int64)
+    if max_off > 0:
+        bound = np.maximum(1, np.minimum(max_off, n_ev))
+        for i in range(T):
+            amp_u[i] = rng.uniform(lo_a, hi_a)
+            if keep[i]:
+                offs[i] = rng.integers(0, bound[i])
+    elif T:
+        amp_u[:] = rng.uniform(lo_a, hi_a, size=T)
+
+    kept = np.flatnonzero(keep)
+    E = int(kept.size)
+    prog = {
+        "out_n": out_n,
+        "E": E,
+        "gen_sr_base": int(np.clip(int(round(base_sr * base_unfold)),
+                                   base_sr, MAX_GEN_SR)),
+    }
+    if E == 0:
+        return prog
+
+    n_k = n_ev[kept]
+    L = _next_pow2(int(n_k.max()))
+    prog["L"] = L
+    prog["seed"] = (int(p.seed) + kept).astype(np.int32)
+    prog["n"] = n_k.astype(np.int32)
+    prog["offset"] = offs[kept].astype(np.int32)
+    prog["start"] = start[kept].astype(np.int32)
+    gsr_k = gen_sr_evt[kept]
+    prog["gen_sr"] = gsr_k.astype(np.float32)
+    prog["inv_gen_sr"] = np.float32(1.0) / gsr_k.astype(np.float32)
+    prog["amp"] = (amp_base * amp_u)[kept].astype(np.float32)
+    prog["cutoff_gen"] = (cutoff_out * ufac)[kept].astype(np.float32)
+    prog["stretch"] = stretch[kept].astype(np.float32)
+
+    if mode in _AUX_MODES or p.res_bank_on or p.wg_on:
+        aux = {k: [] for k in ("dust_pos", "dust_amp", "dust_k", "dust_klen",
+                               "ck_pos", "ck_amp", "wl_f0", "wl_sigma",
+                               "wl_phase", "wl_shift", "frag", "frag_len",
+                               "res_f", "res_ph", "wg_d", "wg_g", "wg_m")}
+        for i in kept:
+            _event_aux_draws(p, mode, int(i), int(n_ev[i]),
+                             int(gen_sr_evt[i]), have_ir, ir_mono, img_gray,
+                             aux)
+        _finalize_aux(p, mode, prog, aux, L)
     return prog
 
 

@@ -35,3 +35,30 @@ def eval_breakpoints(pts, t, default):
             a = (t - t0) / max(1e-12, (t1 - t0))
             return (1 - a) * v0 + a * v1
     return default
+
+
+def eval_breakpoints_vec(pts, ts, default):
+    """Vectorized eval_breakpoints over an array of times — identical IEEE
+    arithmetic per element (same op order as the scalar loop), so results
+    are bit-equal to calling eval_breakpoints per time."""
+    import numpy as np
+
+    ts = np.asarray(ts, np.float64)
+    if not pts:
+        return np.full(ts.shape, float(default), np.float64)
+    kt = np.asarray([p[0] for p in pts], np.float64)
+    kv = np.asarray([p[1] for p in pts], np.float64)
+    if len(pts) == 1:
+        # scalar loop: t <= first -> v0; t >= last -> v0 (same point)
+        return np.full(ts.shape, kv[0], np.float64)
+    # the scalar scan picks the FIRST segment with t0 <= t <= t1, which is
+    # [k-1, k] for the first knot k with kt[k] >= t
+    hi = np.clip(np.searchsorted(kt, ts, side="left"), 1, len(pts) - 1)
+    lo = hi - 1
+    t0, v0 = kt[lo], kv[lo]
+    t1, v1 = kt[hi], kv[hi]
+    a = (ts - t0) / np.maximum(1e-12, (t1 - t0))
+    v = (1 - a) * v0 + a * v1
+    v = np.where(ts <= kt[0], kv[0], v)
+    v = np.where(ts >= kt[-1], kv[-1], v)
+    return v

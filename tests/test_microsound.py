@@ -333,3 +333,51 @@ def test_ceiling_gen_sr_30mhz_clamp_parity():
     assert int(prog["L"]) >= 30_000       # 1 ms of 30 MHz design rate
     out, ref, meta = run_both(p)
     assert max_dev_dbfs(out, ref) <= -60.0
+
+
+def test_vectorized_build_matches_scalar_twin():
+    """build_program (vectorized lanes + minimal rng loop) must equal the
+    scalar per-event twin build_program_seq array-for-array: the sequential
+    rng(seed+123456) stream order is part of the reference contract
+    (main_v2.py:618-755)."""
+    rng = np.random.default_rng(11)
+    ir = (rng.standard_normal(4096)
+          * np.exp(-np.arange(4096) / 800.0)).astype(np.float32)
+    img = rng.uniform(0, 255, (32, 200)).astype(np.uint8)
+    cases = [dict(gen_mode=m) for m in ms.GEN_MODES]
+    cases += [
+        dict(gen_mode="Gaussian click", bp_density="0:18, 0.2:40, 0.4:14",
+             bp_unfold="0:2, 0.3:8", bp_cutoff="0:3000, 0.4:800",
+             bp_stretch="0:1.0, 0.2:2.5"),
+        dict(gen_mode="Resonant strike", res_bank_on=True, wg_on=True),
+        dict(gen_mode="Noise burst", grain_offset_on=False),
+        dict(gen_mode="Noise burst", grain_offset_max_ms=0.0),
+        dict(gen_mode="Dust impulses", event_process="Clustered"),
+        dict(gen_mode="Crackle / corona", event_process="Hawkes"),
+        dict(gen_mode="Noise burst", event_process="Single"),
+        dict(gen_mode="Noise burst", out_dur_s=0.05),
+    ]
+    for c in cases:
+        p = small_params(**c)
+        kw = {}
+        if c["gen_mode"] == "IR fragment":
+            kw["ir_audio"] = ir
+        if c["gen_mode"] == "Image scanline":
+            kw["img_gray"] = img
+        a = ms.build_program_seq(p, **kw)
+        b = ms.build_program(p, **kw)
+        assert set(a.keys()) == set(b.keys()), c
+        for k in a:
+            if isinstance(a[k], np.ndarray):
+                assert a[k].dtype == b[k].dtype, (c, k)
+                assert np.array_equal(a[k], b[k]), (c, k)
+            else:
+                assert a[k] == b[k], (c, k)
+    # IR fragment with no IR loaded falls back to the 16-sample floor
+    p = small_params(gen_mode="IR fragment")
+    a = ms.build_program_seq(p)
+    b = ms.build_program(p)
+    for k in a:
+        ok = (np.array_equal(a[k], b[k]) if isinstance(a[k], np.ndarray)
+              else a[k] == b[k])
+        assert ok, k
