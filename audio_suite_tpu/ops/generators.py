@@ -28,6 +28,7 @@ STREAM_EXC = 1
 STREAM_BUILD = 2
 STREAM_OUT = 3
 STREAM_GATE = 4
+STREAM_TILT_IM = 5   # imaginary component of the drawn tilt-noise spectrum
 
 
 def hann_t(i, n):
@@ -84,19 +85,30 @@ def exp_kernel_t(K: int, klen, end: float):
 
 def _tilted_noise(i, n, seed, gen_sr, tilt_db_per_oct, L):
     """Spectrally tilted Gaussian noise (main_v2.py:224-233), padded-length
-    FFT semantics."""
-    w = noise.normal(seed, i, STREAM_MAIN)
-    w = jnp.where(i < n, w, 0.0)
-    W = jnp.fft.rfft(w)
-    # f/f1 == bin index exactly (f = i*gen_sr/L, f1 = gen_sr/L), so the
+    FFT semantics.
+
+    Framework semantics (round 3): the SPECTRUM is drawn directly — the
+    rfft of n-sample white Gaussian noise is complex Gaussian with
+    per-component variance n/2 — which skips the forward transform
+    entirely (the reference filters time-domain noise through
+    rfft -> shape -> irfft; one transform instead of two, measured
+    2.36 -> 1.09 ms on the [270, 32768] grain batch, tools/fft_sizes.py).
+    Same counter-noise determinism (streams MAIN + TILT_IM over bin
+    indices); the NumPy oracle draws the identical spectrum."""
+    nf = L // 2 + 1
+    k = jnp.arange(nf, dtype=jnp.int32)
+    wr = noise.normal(seed, k, STREAM_MAIN)
+    wi = noise.normal(seed, k, STREAM_TILT_IM)
+    # f/f1 == bin index exactly (f = k*gen_sr/L, f1 = gen_sr/L), so the
     # tilt shape is gen_sr-INDEPENDENT: one [nf] pow instead of an
     # [E, nf] transcendental per event under vmap (XLA hoists ops with
     # no batched operands out of the event batch)
-    r = jnp.arange(L // 2 + 1, dtype=jnp.float32).at[0].set(1.0)
+    r = k.astype(jnp.float32).at[0].set(1.0)
     alpha = jnp.log2(jnp.float32(10.0) ** (jnp.asarray(tilt_db_per_oct,
                                                        jnp.float32) / 20.0))
-    shape = r ** alpha
-    return jnp.fft.irfft(W * shape, n=L).astype(jnp.float32)
+    g = (r ** alpha) * jnp.sqrt(jnp.float32(0.5) * n.astype(jnp.float32))
+    W = jax.lax.complex(wr * g, wi * g)
+    return jnp.fft.irfft(W, n=L).astype(jnp.float32)
 
 
 def gen_basic(i, n, seed, gen_sr, inv_gen_sr, micro_ms, mode_id: int,

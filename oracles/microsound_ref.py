@@ -14,7 +14,7 @@ import numpy as np
 from audio_suite_tpu.ops import detmath, noise
 from audio_suite_tpu.ops.generators import (STREAM_BUILD, STREAM_EXC,
                                             STREAM_GATE, STREAM_MAIN,
-                                            STREAM_OUT)
+                                            STREAM_OUT, STREAM_TILT_IM)
 from audio_suite_tpu.models.microsound import GEN_MODES, chain_cfg
 from audio_suite_tpu.ops.space import er_tap_kernel
 
@@ -50,15 +50,20 @@ def _exp_kernel(K, end):
 
 
 def _tilted_noise(i, n, seed, gen_sr, tilt, L):
-    w = noise.normal_np(seed, i, STREAM_MAIN).astype(np.float64)
-    w = np.where(i < n, w, 0.0)
-    W = np.fft.rfft(w)
-    f = np.arange(L // 2 + 1) * (gen_sr / L)
+    # framework semantics (round 3): the spectrum is drawn directly —
+    # complex Gaussian with component variance n/2 (the rfft distribution
+    # of n-sample white noise) — mirroring ops/generators._tilted_noise
+    nf = L // 2 + 1
+    k = np.arange(nf)
+    wr = noise.normal_np(seed, k, STREAM_MAIN).astype(np.float64)
+    wi = noise.normal_np(seed, k, STREAM_TILT_IM).astype(np.float64)
+    f = k * (gen_sr / L)
     if f.size > 1:
         f[0] = f[1]
     alpha = np.log2(10.0 ** (tilt / 20.0))
     shape = (f / max(1e-12, f[1])) ** alpha
-    return np.fft.irfft(W * shape, n=L)
+    g = shape * np.sqrt(0.5 * n)
+    return np.fft.irfft((wr + 1j * wi) * g, n=L)
 
 
 def _generate(e, cfg, prog, idx):
