@@ -624,6 +624,9 @@ class ChainCfg:
     #                              into a handful of distinct H buckets, so
     #                              a x4 upward stretch stops paying the
     #                              x0.25 downward stretch's 6x window
+    shared_gain: bool = False    # all events share (gen_sr, cutoff): the
+    #                              lowpass curve is computed once, not per
+    #                              event (identical per-element arithmetic)
 
 
 def chain_cfg(params: MicrosoundParams, prog: dict, ec: int,
@@ -649,8 +652,13 @@ def chain_cfg(params: MicrosoundParams, prog: dict, ec: int,
     if shared:
         stretch_scale = float(
             max(0.25, 1.0 / max(1e-6, float(prog["stretch"][0]))))
+    shared_gain = bool(
+        shared and "gen_sr" in prog and "cutoff_gen" in prog
+        and np.all(prog["gen_sr"] == prog["gen_sr"][0])
+        and np.all(prog["cutoff_gen"] == prog["cutoff_gen"][0]))
     return ChainCfg(
         stretch_scale=stretch_scale,
+        shared_gain=shared_gain,
         mode_id=GEN_MODES.index(p.gen_mode),
         L=int(prog["L"]), out_n=int(prog["out_n"]), ec=int(ec), oa=oa,
         shared_stretch=shared,
@@ -843,7 +851,7 @@ def chunk_body(cfg: ChainCfg):
             x = spectral.lowpass_stretch_fused_shared(
                 raw, per_ev["gen_sr"], per_ev["cutoff_gen"],
                 per_ev["stretch"][0], roll=cfg.bandlimit_roll,
-                max_scale=cfg.stretch_scale)
+                max_scale=cfg.stretch_scale, shared_gain=cfg.shared_gain)
             j2 = jnp.arange(cfg.L, dtype=jnp.int32)[None, :]
             grains = jnp.where(j2 < per_ev["n"][:, None], x, 0.0)
         else:

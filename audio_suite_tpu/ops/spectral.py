@@ -214,7 +214,8 @@ def lowpass_stretch_fused(x, sr, cutoff, factor, roll=0.0):
 
 
 def lowpass_stretch_fused_shared(x, sr_v, cutoff_v, factor, roll=0.0,
-                                 block: int = 128, max_scale: float = 4.0):
+                                 block: int = 128, max_scale: float = 4.0,
+                                 shared_gain: bool = False):
     """Batched lowpass_stretch_fused for a grain bank [E, L] whose stretch
     factor is SHARED across events (per-event cutoff/sr still vary).
 
@@ -236,9 +237,16 @@ def lowpass_stretch_fused_shared(x, sr_v, cutoff_v, factor, roll=0.0,
     E, L = x.shape
     X = jnp.fft.rfft(x)
     nf = X.shape[-1]
-    gains = jax.vmap(lambda s, c: _lowpass_gain(L, s, c, roll))(
-        jnp.asarray(sr_v, jnp.float32), jnp.asarray(cutoff_v, jnp.float32))
-    Xg = X * gains
+    sr_v = jnp.asarray(sr_v, jnp.float32)
+    cutoff_v = jnp.asarray(cutoff_v, jnp.float32)
+    if shared_gain:
+        # every event shares (sr, cutoff): one [nf] curve broadcast — the
+        # identical per-element arithmetic, minus the [E, nf] cos batch
+        Xg = X * _lowpass_gain(L, sr_v[0], cutoff_v[0], roll)[None, :]
+    else:
+        gains = jax.vmap(lambda s, c: _lowpass_gain(L, s, c, roll))(
+            sr_v, cutoff_v)
+        Xg = X * gains
 
     factor = jnp.asarray(factor, jnp.float32)
     scale = jnp.float32(1.0) / jnp.maximum(1e-12, factor)
@@ -265,21 +273,25 @@ def lowpass_stretch_fused_shared(x, sr_v, cutoff_v, factor, roll=0.0,
     w_iota = jnp.arange(W, dtype=jnp.int32)[None, None, :]
     oh0 = (w_iota == local[..., None]).astype(jnp.float32)        # [A,B,W]
     oh1 = (w_iota == (local + 1)[..., None]).astype(jnp.float32)  # [A,B,W]
+    # fold the lerp weights AND the validity mask into ONE selection
+    # matrix (two nonzeros per output row: 1-t at lane i0, t at i0+1) so
+    # the contraction is a single einsum instead of two plus two [A,E,B]
+    # elementwise combine passes.  Exactness: the reduction sums exactly
+    # two nonzero f32-faithful products — the same (1-t)*a + t*b the
+    # separate einsums computed (zeros perturb nothing, two-term sums are
+    # order-independent).
+    vm = valid.astype(jnp.float32)
+    wA = (oh0 * ((jnp.float32(1.0) - t) * vm)[..., None]
+          + oh1 * (t * vm)[..., None])                            # [A,B,W]
     xw = jax.vmap(
         lambda w: jax.lax.dynamic_slice(Xpad, (0, w), (E, W)))(win)
 
     def lerp_part(xw_r):
-        # [A,B,W] x [A,E,W] -> [A,E,B]: exactly one nonzero product per
-        # output element, so the MXU contraction equals a direct gather
-        x0 = jnp.einsum("abw,aew->aeb", oh0, xw_r,
-                        precision=jax.lax.Precision.HIGHEST)
-        x1 = jnp.einsum("abw,aew->aeb", oh1, xw_r,
-                        precision=jax.lax.Precision.HIGHEST)
-        return (x0 * (jnp.float32(1.0) - t)[:, None, :]
-                + x1 * t[:, None, :])
+        # [A,B,W] x [A,E,W] -> [A,E,B] on the MXU at HIGHEST precision
+        return jnp.einsum("abw,aew->aeb", wA, xw_r,
+                          precision=jax.lax.Precision.HIGHEST)
 
     out = lerp_part(xw.real) + 1j * lerp_part(xw.imag)
-    out = out * valid[:, None, :].astype(jnp.float32)
     # out: [A, E, block] -> [E, nf]
     Y = jnp.moveaxis(out, 0, 1).reshape(E, nf_pad)[:, :nf]
     Z = jnp.where(jnp.abs(factor - 1.0) < 1e-9, Xg, Y)

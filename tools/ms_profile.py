@@ -25,14 +25,41 @@ def drain(y):
     return float(jnp.sum(jnp.abs(jnp.ravel(y)).astype(jnp.float32)))
 
 
-def time_device(fn, K=5):
+K = 20
+_NULL = None
+
+
+def _null_latency():
+    """Measured K-amortized drain-roundtrip floor (same protocol as
+    bench.py): without this the ~26-32 ms tunnel roundtrip divided by K
+    reads as per-call cost — at K=5 the old numbers carried a ~5-6 ms
+    fixed inflation that dwarfed the cheap sub-stages."""
+    global _NULL
+    if _NULL is None:
+        f = jax.jit(lambda v: v + 1.0)
+        x = jnp.zeros((), jnp.float32)
+        float(f(x))
+        t0 = time.perf_counter()
+        for _ in range(K):
+            y = f(x)
+        float(y)
+        _NULL = (time.perf_counter() - t0) / K
+    return _NULL
+
+
+def time_device(fn, K=K):
+    null = _null_latency()
     y = fn()
     drain(y)
-    t0 = time.perf_counter()
-    for _ in range(K):
-        y = fn()
-    drain(y)
-    return (time.perf_counter() - t0) / K
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(K):
+            y = fn()
+        drain(y)
+        t = (time.perf_counter() - t0) / K - null
+        best = t if best is None else min(best, t)
+    return max(1e-9, best)
 
 
 def main():
