@@ -627,6 +627,11 @@ class ChainCfg:
     shared_gain: bool = False    # all events share (gen_sr, cutoff): the
     #                              lowpass curve is computed once, not per
     #                              event (identical per-element arithmetic)
+    oa_win: int = 0              # overlap-add window length (1024-bucketed
+    #                              cover of max true grain length n): the
+    #                              pow2 FFT pad makes the window tail exact
+    #                              zeros — the OA skips adding them (0 =
+    #                              full L)
 
 
 def chain_cfg(params: MicrosoundParams, prog: dict, ec: int,
@@ -659,6 +664,7 @@ def chain_cfg(params: MicrosoundParams, prog: dict, ec: int,
     return ChainCfg(
         stretch_scale=stretch_scale,
         shared_gain=shared_gain,
+        oa_win=_oa_window_len(prog),
         mode_id=GEN_MODES.index(p.gen_mode),
         L=int(prog["L"]), out_n=int(prog["out_n"]), ec=int(ec), oa=oa,
         shared_stretch=shared,
@@ -865,6 +871,11 @@ def chunk_body(cfg: ChainCfg):
         valid = ((j[None, :] >= evs["offset"][:, None])
                  & (j[None, :] < evs["n"][:, None]))
         val = evs["amp"][:, None] * jnp.where(valid, grains, 0.0)
+        if 0 < cfg.oa_win < cfg.L:
+            # the pow2 FFT pad leaves [max n, L) exactly zero in every
+            # window — adding zeros is the identity (out starts +0.0 and
+            # +0 + -0 == +0), so the OA only walks the bucketed cover
+            val = val[:, :cfg.oa_win]
         if cfg.oa == "ring":
             out = pallas_oa.ring_overlap_add(out, val, evs["oa_rel"],
                                              evs["oa_nflush"])
@@ -888,6 +899,20 @@ _EV_CHUNK_KEYS = ("seed", "n", "gen_sr", "inv_gen_sr", "amp", "offset",
                   "res_ph", "wg_d", "wg_g", "wg_m")
 
 
+def _oa_window_len(prog: dict) -> int:
+    """Static OA window length: the 1024-sample-bucketed cover of the
+    chunk's largest true grain length.  Grain buffers are padded to the
+    pow2 FFT length L, but every sample at or beyond n is exactly zero —
+    the overlap-add can skip them (bit-exact: adding +0.0 never changes
+    the accumulator).  Bucketing keeps the compiled kernel stable under
+    small n changes."""
+    L = int(prog["L"])
+    if "n" not in prog:
+        return L
+    n_max = int(np.max(prog["n"]))
+    return min(L, max(1024, -(-n_max // 1024) * 1024))
+
+
 def _chunk_events(prog: dict, ec: int):
     """Split the per-event arrays into padded chunks of ec events.  Dummy
     padding events render nothing (amp 0, start beyond the buffer) and only
@@ -899,6 +924,7 @@ def _chunk_events(prog: dict, ec: int):
     schedule (oa_rel, oa_nflush).  Returns (chunks, ring_ok)."""
     E = prog["E"]
     L = int(prog["L"])
+    Lw = _oa_window_len(prog)    # the OA walks the trimmed window cover
     oa_len = pallas_oa.ring_out_len(int(prog["out_n"]), L)
     chunks = []
     ring_ok = L % 1024 == 0
@@ -923,7 +949,8 @@ def _chunk_events(prog: dict, ec: int):
         c["oa_start"] = (L + c["start"].astype(np.int64)
                          - c["offset"].astype(np.int64)).astype(np.int32)
         if ring_ok:
-            rel, nflush, plan = pallas_oa.plan_ring(c["oa_start"], L, oa_len)
+            rel, nflush, plan = pallas_oa.plan_ring(c["oa_start"], Lw,
+                                                    oa_len)
             ring_ok = plan.feasible
             c["oa_rel"], c["oa_nflush"] = rel, nflush
         chunks.append(c)
