@@ -108,7 +108,8 @@ def _tilted_noise(i, n, seed, gen_sr, tilt_db_per_oct, L):
                                                        jnp.float32) / 20.0))
     g = (r ** alpha) * jnp.sqrt(jnp.float32(0.5) * n.astype(jnp.float32))
     W = jax.lax.complex(wr * g, wi * g)
-    return jnp.fft.irfft(W, n=L).astype(jnp.float32)
+    from . import spectral
+    return spectral._irfft(W, L)
 
 
 def gen_basic(i, n, seed, gen_sr, inv_gen_sr, micro_ms, mode_id: int,

@@ -16,6 +16,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import mxu_fft
+
+
+def _rfft(x):
+    """rfft on the last axis — MXU four-step for large pow2 L on TPU
+    (2.7x XLA's fft custom call and closer to f64 NumPy, see
+    ops/mxu_fft.py), XLA's FFT otherwise."""
+    L = x.shape[-1]
+    if mxu_fft.use_mxu(L):
+        return mxu_fft.rfft(x)
+    return jnp.fft.rfft(x)
+
+
+def _irfft(Z, L: int):
+    if mxu_fft.use_mxu(L):
+        return mxu_fft.irfft(Z, L)
+    return jnp.fft.irfft(Z, n=L).astype(jnp.float32)
+
 
 def _freqs(L: int, sr):
     """rfftfreq for padded length L at sample rate sr (main_v2.py:36-37)."""
@@ -29,7 +47,7 @@ def lowpass_fft(x, sr, cutoff, roll=0.0):
     nyq = 0.5 * jnp.asarray(sr, jnp.float32)
     cutoff = jnp.clip(jnp.asarray(cutoff, jnp.float32), 1.0, nyq)
     roll = jnp.maximum(jnp.asarray(roll, jnp.float32), 0.0)
-    X = jnp.fft.rfft(x)
+    X = _rfft(x)
     f = _freqs(L, sr)
     f0 = cutoff
     f1 = jnp.minimum(nyq, cutoff + roll)
@@ -38,7 +56,7 @@ def lowpass_fft(x, sr, cutoff, roll=0.0):
     gain_rolloff = jnp.where(f > f1, 0.0, jnp.where(f >= f0, w_roll, 1.0))
     gain_hard = jnp.where(f > cutoff, 0.0, 1.0)
     gain = jnp.where(roll <= 0, gain_hard, gain_rolloff)
-    return jnp.fft.irfft(X * gain, n=L).astype(jnp.float32)
+    return _irfft(X * gain, L)
 
 
 def bandpass_fft(x, sr, lo, hi, roll=0.0):
@@ -48,7 +66,7 @@ def bandpass_fft(x, sr, lo, hi, roll=0.0):
     lo = jnp.maximum(0.0, jnp.asarray(lo, jnp.float32))
     hi = jnp.minimum(jnp.maximum(lo, jnp.asarray(hi, jnp.float32)), nyq)
     roll = jnp.maximum(jnp.asarray(roll, jnp.float32), 0.0)
-    X = jnp.fft.rfft(x)
+    X = _rfft(x)
     f = _freqs(L, sr)
 
     # low edge (0 -> 1 over [lo-roll, lo])
@@ -67,7 +85,7 @@ def bandpass_fft(x, sr, lo, hi, roll=0.0):
     g_hi_hard = jnp.where(f > hi, 0.0, 1.0)
     g_hi = jnp.where(hi < nyq, jnp.where(roll <= 0, g_hi_hard, g_hi_roll), 1.0)
 
-    y = jnp.fft.irfft(X * (g_lo * g_hi), n=L).astype(jnp.float32)
+    y = _irfft(X * (g_lo * g_hi), L)
     return jnp.where(hi <= 0, jnp.zeros_like(y), y)
 
 
@@ -171,13 +189,13 @@ def _lerp_uniform_affine(y, scale, block: int = 512, max_scale: float = 4.0):
 def fft_warp_power(x, power):
     """Power-law frequency warp (main_v2.py:103-115)."""
     L = x.shape[-1]
-    X = jnp.fft.rfft(x)
+    X = _rfft(x)
     k = jnp.arange(X.shape[-1], dtype=jnp.float32)
     kmax = jnp.maximum(1.0, k[-1])
     u = k / kmax
     u_in = jnp.power(u, 1.0 / jnp.maximum(1e-6, jnp.asarray(power, jnp.float32)))
     Y = _interp_spectrum(X, u_in * kmax)
-    return jnp.fft.irfft(Y, n=L).astype(jnp.float32)
+    return _irfft(Y, L)
 
 
 def _lowpass_gain(L, sr, cutoff, roll):
@@ -203,14 +221,14 @@ def lowpass_stretch_fused(x, sr, cutoff, factor, roll=0.0):
     within ~1 ulp (the oracle keeps the sequential structure; parity budget
     is -60 dBFS)."""
     L = x.shape[-1]
-    X = jnp.fft.rfft(x)
+    X = _rfft(x)
     Xg = X * _lowpass_gain(L, sr, cutoff, roll)
 
     factor = jnp.asarray(factor, jnp.float32)
     inv_f = jnp.float32(1.0) / jnp.maximum(1e-12, factor)
     Y = _lerp_uniform_affine(Xg, inv_f)
     Z = jnp.where(jnp.abs(factor - 1.0) < 1e-9, Xg, Y)
-    return jnp.fft.irfft(Z, n=L).astype(jnp.float32)
+    return _irfft(Z, L)
 
 
 def lowpass_stretch_fused_shared(x, sr_v, cutoff_v, factor, roll=0.0,
@@ -235,7 +253,7 @@ def lowpass_stretch_fused_shared(x, sr_v, cutoff_v, factor, roll=0.0,
     the MXU).  One nonzero product per output row, so results stay
     bit-identical to a direct gather."""
     E, L = x.shape
-    X = jnp.fft.rfft(x)
+    X = _rfft(x)
     nf = X.shape[-1]
     sr_v = jnp.asarray(sr_v, jnp.float32)
     cutoff_v = jnp.asarray(cutoff_v, jnp.float32)
@@ -295,7 +313,7 @@ def lowpass_stretch_fused_shared(x, sr_v, cutoff_v, factor, roll=0.0,
     # out: [A, E, block] -> [E, nf]
     Y = jnp.moveaxis(out, 0, 1).reshape(E, nf_pad)[:, :nf]
     Z = jnp.where(jnp.abs(factor - 1.0) < 1e-9, Xg, Y)
-    return jnp.fft.irfft(Z, n=L).astype(jnp.float32)
+    return _irfft(Z, L)
 
 
 def fft_partial_stretch(x, factor):
@@ -303,11 +321,11 @@ def fft_partial_stretch(x, factor):
     The resample positions k/factor are affine, so the gather-free blockwise
     MXU lerp applies."""
     L = x.shape[-1]
-    X = jnp.fft.rfft(x)
+    X = _rfft(x)
     inv_f = jnp.float32(1.0) / jnp.maximum(
         1e-12, jnp.asarray(factor, jnp.float32))
     Y = _lerp_uniform_affine(X, inv_f)
-    y = jnp.fft.irfft(Y, n=L).astype(jnp.float32)
+    y = _irfft(Y, L)
     return jnp.where(jnp.abs(jnp.asarray(factor, jnp.float32) - 1.0) < 1e-9,
                      x, y)
 
@@ -316,7 +334,7 @@ def partial_lock_stretch(x, factor, top_n: int = 24, neighborhood: int = 4):
     """Peak-locked stretch: top-N spectral peaks remapped k -> k*factor with
     triangular spread + 0.12 dry (main_v2.py:130-148)."""
     L = x.shape[-1]
-    X = jnp.fft.rfft(x)
+    X = _rfft(x)
     nf = X.shape[-1]
     mag = jnp.abs(X)
     _, rel = jax.lax.top_k(mag[1:], top_n)
@@ -331,7 +349,7 @@ def partial_lock_stretch(x, factor, top_n: int = 24, neighborhood: int = 4):
         Y = Y.at[jnp.where(ok, kk, nf)].add(
             jnp.where(ok, X[peaks] * w, 0.0), mode="drop")
     Y = Y + jnp.complex64(0.12) * X
-    y = jnp.fft.irfft(Y, n=L).astype(jnp.float32)
+    y = _irfft(Y, L)
     return jnp.where(jnp.abs(jnp.asarray(factor, jnp.float32) - 1.0) < 1e-9,
                      x, y)
 
@@ -347,18 +365,18 @@ def cepstral_warp(x, factor):
     max(mag, 1e-4 * peak) — a -80 dBFS spectral floor, below which the
     envelope is meaningless anyway."""
     L = x.shape[-1]
-    X = jnp.fft.rfft(x)
+    X = _rfft(x)
     mag = jnp.abs(X)
     floor = jnp.float32(1e-4) * jnp.maximum(jnp.max(mag), 1e-30)
     logmag = jnp.log(jnp.maximum(mag, floor))
-    cep = jnp.fft.irfft(logmag, n=L)
+    cep = _irfft(jax.lax.complex(logmag, jnp.zeros_like(logmag)), L)
     t = jnp.arange(L, dtype=jnp.float32)
     t_in = t / jnp.maximum(1e-12, jnp.asarray(factor, jnp.float32))
     cep2 = _lerp_uniform(cep, t_in)
-    logmag2 = jnp.fft.rfft(cep2).real
+    logmag2 = _rfft(cep2).real
     mag2 = jnp.exp(logmag2)
     Y = mag2 * jnp.exp(1j * jnp.angle(X))
-    return jnp.fft.irfft(Y, n=L).astype(jnp.float32)
+    return _irfft(Y, L)
 
 
 def multiband_unfold(x, gen_sr, bands_out_hz, unfolds, roll_hz=0.0):

@@ -348,3 +348,42 @@ def test_lowpass_stretch_shared_is_exact_gather_lerp():
         dev = float(np.max(np.abs(got - want)))
         # identical selection; only the final irfft rounding differs
         assert dev < 2e-6, (factor, dev)
+
+
+def test_mxu_fft_matches_numpy():
+    """The four-step MXU DFT (ops/mxu_fft.py) must match np.fft.rfft /
+    irfft to f32 accuracy at every eligible pow2 size, including under
+    vmap (how the grain chain calls it) and for non-Hermitian DC/Nyquist
+    imag parts (the c2r convention: only their real parts contribute)."""
+    import jax
+    import jax.numpy as jnp
+    from audio_suite_tpu.ops import mxu_fft
+
+    rng = np.random.default_rng(7)
+    for L in (16384, 32768):
+        E = 3
+        x = rng.standard_normal((E, L)).astype(np.float32)
+        ref = np.fft.rfft(x.astype(np.float64))
+        got = np.asarray(jax.jit(mxu_fft.rfft)(jnp.asarray(x)))
+        scale = np.max(np.abs(ref))
+        assert np.max(np.abs(got - ref)) / scale < 2e-6, L
+
+        y = np.asarray(jax.jit(
+            lambda z: mxu_fft.irfft(z, L))(jnp.asarray(
+                ref.astype(np.complex64))))
+        yref = np.fft.irfft(ref, n=L)
+        assert np.max(np.abs(y - yref)) < 2e-6, L
+
+    # vmap over a batch axis (the _tilted_noise call pattern)
+    L = 16384
+    x = rng.standard_normal((4, L)).astype(np.float32)
+    via_vmap = np.asarray(jax.jit(jax.vmap(mxu_fft.rfft))(jnp.asarray(x)))
+    direct = np.asarray(jax.jit(mxu_fft.rfft)(jnp.asarray(x)))
+    assert np.array_equal(via_vmap, direct)
+
+    # c2r convention: imag parts of DC/Nyquist bins are ignored
+    Z = (rng.standard_normal(L // 2 + 1)
+         + 1j * rng.standard_normal(L // 2 + 1)).astype(np.complex64)
+    got = np.asarray(jax.jit(lambda z: mxu_fft.irfft(z, L))(jnp.asarray(Z)))
+    ref = np.fft.irfft(Z.astype(np.complex128), n=L)
+    assert np.max(np.abs(got - ref)) < 2e-5
