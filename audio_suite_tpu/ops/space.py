@@ -44,9 +44,14 @@ def fft_convolve_causal(x, kernel, block: int = 1 << 17):
     pad_n = nblocks * hop
     xp = jnp.zeros(pad_n, jnp.float32).at[:N].set(x)
     frames = xp.reshape(nblocks, hop)
-    Kf = jnp.fft.rfft(kernel, n=nfft)
-    Y = jnp.fft.irfft(jnp.fft.rfft(frames, n=nfft, axis=-1) * Kf[None, :],
-                      n=nfft, axis=-1)
+    # grain-path FFT router: MXU four-step for pow2 nfft >= 16384 on TPU
+    # (ops/mxu_fft.py; also immune to the XLA big-FFT issue capped above),
+    # XLA's FFT otherwise.  Explicit zero-pad to nfft for the MXU path.
+    from . import spectral
+    Kf = spectral._rfft(jnp.zeros(nfft, jnp.float32).at[:K].set(kernel))
+    fp = jnp.concatenate(
+        [frames, jnp.zeros((nblocks, nfft - hop), jnp.float32)], axis=-1)
+    Y = spectral._irfft(spectral._rfft(fp) * Kf[None, :], nfft)
     # out[b*hop : (b+1)*hop] = Y[b, :hop] + Y[b-1, hop:]
     h1 = Y[:, :hop]
     h2 = jnp.concatenate([jnp.zeros((1, hop), jnp.float32), Y[:-1, hop:]])
