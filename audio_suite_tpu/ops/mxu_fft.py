@@ -60,8 +60,10 @@ def _fwd_consts(L: int):
     W2 = np.exp(-2j * np.pi * np.outer(b, k2) / M2)          # [b, k2]
     tw = np.exp(-2j * np.pi * np.outer(a, b) / L)            # [k1, b]
     # cache NumPy constants (jnp.asarray inside a trace would leak
-    # tracers into the cache); call sites embed them as jit constants
-    f32 = lambda z: (z.real.astype(np.float32), z.imag.astype(np.float32))
+    # tracers into the cache); call sites embed them as jit constants.
+    # The third entry is the Karatsuba sum table W.r + W.i (host-side).
+    f32 = lambda z: (z.real.astype(np.float32), z.imag.astype(np.float32),
+                     (z.real + z.imag).astype(np.float32))
     return f32(W1), f32(W2), f32(tw)
 
 
@@ -74,8 +76,23 @@ def _inv_consts(L: int):
     V1 = np.exp(2j * np.pi * np.outer(a, a) / M1)            # [k1, a]
     V2 = np.exp(2j * np.pi * np.outer(k2, b) / M2)           # [k2, b]
     itw = np.exp(2j * np.pi * np.outer(a, b) / L)            # [k1, b]
-    f32 = lambda z: (z.real.astype(np.float32), z.imag.astype(np.float32))
+    f32 = lambda z: (z.real.astype(np.float32), z.imag.astype(np.float32),
+                     (z.real + z.imag).astype(np.float32))
     return f32(V1), f32(V2), f32(itw)
+
+
+def _cmatmul3(Ar, Ai, W, sub):
+    """Complex x constant-complex contraction with THREE real matmuls
+    (Karatsuba): t1 = Ar@Wr, t2 = Ai@Wi, t3 = (Ar+Ai)@(Wr+Wi);
+    Re = t1 - t2, Im = t3 - t1 - t2.  `sub` is the einsum subscript.
+    One matmul fewer than the naive four; the extra add passes are
+    elementwise.  Error grows by at most ~2x over the 4-mult form
+    (cancellation in t3 - t1 - t2), still f32-class."""
+    Wr, Wi, Ws = W
+    t1 = jnp.einsum(sub, Ar, Wr, precision=_HI)
+    t2 = jnp.einsum(sub, Ai, Wi, precision=_HI)
+    t3 = jnp.einsum(sub, Ar + Ai, Ws, precision=_HI)
+    return t1 - t2, t3 - t1 - t2
 
 
 def rfft(x):
@@ -89,17 +106,14 @@ def rfft(x):
     """
     L = x.shape[-1]
     M1, M2 = _M1, L // _M1
-    (W1r, W1i), (W2r, W2i), (twr, twi) = _fwd_consts(L)
+    (W1r, W1i, _), W2, (twr, twi, _) = _fwd_consts(L)
     lead = x.shape[:-1]
     xg = x.reshape(*lead, M1, M2)
     Cr = jnp.einsum("...ab,ak->...kb", xg, W1r, precision=_HI)
     Ci = jnp.einsum("...ab,ak->...kb", xg, W1i, precision=_HI)
     Dr = Cr * twr - Ci * twi
     Di = Cr * twi + Ci * twr
-    Xr = (jnp.einsum("...kb,bq->...qk", Dr, W2r, precision=_HI)
-          - jnp.einsum("...kb,bq->...qk", Di, W2i, precision=_HI))
-    Xi = (jnp.einsum("...kb,bq->...qk", Dr, W2i, precision=_HI)
-          + jnp.einsum("...kb,bq->...qk", Di, W2r, precision=_HI))
+    Xr, Xi = _cmatmul3(Dr, Di, W2, "...kb,bq->...qk")
     nf = L // 2 + 1
     Xr = Xr.reshape(*lead, -1)[..., :nf]
     Xi = Xi.reshape(*lead, -1)[..., :nf]
@@ -110,7 +124,7 @@ def irfft(Z, L: int):
     """np.fft.irfft(Z, n=L) via the half-spectrum four-step (see module
     docstring).  Z complex64 [..., L//2 + 1] -> real f32 [..., L]."""
     M1, M2 = _M1, L // _M1
-    (V1r, V1i), (V2r, V2i), (itwr, itwi) = _inv_consts(L)
+    (V1r, V1i, _), V2, (itwr, itwi, _) = _inv_consts(L)
     nf = L // 2 + 1
     lead = Z.shape[:-1]
     half = jnp.ones((nf,), jnp.float32).at[0].set(0.5).at[nf - 1].set(0.5)
@@ -121,10 +135,7 @@ def irfft(Z, L: int):
     pz = ((0, 0),) * len(lead) + ((0, P - nf),)
     Zr = jnp.pad(Zr, pz).reshape(*lead, M2 // 2 + 1, M1)
     Zi = jnp.pad(Zi, pz).reshape(*lead, M2 // 2 + 1, M1)
-    Ar = (jnp.einsum("...qk,qb->...kb", Zr, V2r, precision=_HI)
-          - jnp.einsum("...qk,qb->...kb", Zi, V2i, precision=_HI))
-    Ai = (jnp.einsum("...qk,qb->...kb", Zr, V2i, precision=_HI)
-          + jnp.einsum("...qk,qb->...kb", Zi, V2r, precision=_HI))
+    Ar, Ai = _cmatmul3(Zr, Zi, V2, "...qk,qb->...kb")
     Er = Ar * itwr - Ai * itwi
     Ei = Ar * itwi + Ai * itwr
     # final stage: real part only

@@ -253,6 +253,11 @@ def lowpass_stretch_fused_shared(x, sr_v, cutoff_v, factor, roll=0.0,
     the MXU).  One nonzero product per output row, so results stay
     bit-identical to a direct gather."""
     E, L = x.shape
+    if max_scale <= 0.5:
+        # small selection window (downward stretch): double the block —
+        # half the window-fetch iterations and bytes at identical einsum
+        # flops (A halves, B doubles, W stays at the 256 floor)
+        block = max(block, 256)
     X = _rfft(x)
     nf = X.shape[-1]
     sr_v = jnp.asarray(sr_v, jnp.float32)

@@ -186,3 +186,64 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def rfft_mxu_b(x, M1, M2):
+    """Variant B: n = M1*b + a, k = k2 + M2*k1 — the outer matmul
+    contracts the LANE dim (a) and the half-spectrum cut halves the
+    M1-side instead of the M2-side."""
+    E, L = x.shape
+    a = np.arange(M1)
+    b = np.arange(M2)
+    k1 = np.arange(M1 // 2 + 1)
+    W2 = np.exp(-2j * np.pi * np.outer(b, b) / M2)       # [b, k2]
+    tw = np.exp(-2j * np.pi * np.outer(b, a) / L)        # [k2, a]
+    W1h = np.exp(-2j * np.pi * np.outer(a, k1) / M1)     # [a, k1]
+    W2r, W2i = W2.real.astype(np.float32), W2.imag.astype(np.float32)
+    twr, twi = tw.real.astype(np.float32), tw.imag.astype(np.float32)
+    W1r_, W1i_ = W1h.real.astype(np.float32), W1h.imag.astype(np.float32)
+    xg = x.reshape(E, M2, M1)
+    Cr = jnp.einsum("...ba,bq->...qa", xg, W2r, precision=HI)
+    Ci = jnp.einsum("...ba,bq->...qa", xg, W2i, precision=HI)
+    Dr = Cr * twr - Ci * twi
+    Di = Cr * twi + Ci * twr
+    Xr = (jnp.einsum("...qa,ak->...kq", Dr, W1r_, precision=HI)
+          - jnp.einsum("...qa,ak->...kq", Di, W1i_, precision=HI))
+    Xi = (jnp.einsum("...qa,ak->...kq", Dr, W1i_, precision=HI)
+          + jnp.einsum("...qa,ak->...kq", Di, W1r_, precision=HI))
+    nf = L // 2 + 1
+    return (Xr.reshape(E, -1)[:, :nf], Xi.reshape(E, -1)[:, :nf])
+
+
+def variants():
+    print("device:", jax.devices()[0])
+    null = _null()
+    print(f"null {null*1e3:.2f} ms")
+    E, L = 270, 32768
+    rng = np.random.default_rng(0)
+    xh = rng.standard_normal((E, L)).astype(np.float32)
+    x = jnp.asarray(xh)
+    ref = np.fft.rfft(xh.astype(np.float64))
+
+    for M1, M2 in ((128, 256), (256, 128), (64, 512)):
+        cf = _dft_consts(L, M1, M2)
+        f = jax.jit(lambda v, c=cf: sum(jnp.sum(jnp.abs(p))
+                                        for p in rfft_mxu(v, c)))
+        t = timeit(f, x, null=null)
+        g = jax.jit(lambda v, c=cf: rfft_mxu(v, c))
+        got = np.asarray(g(x)[0]) + 1j * np.asarray(g(x)[1])
+        err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+        print(f"A M1={M1:3d} M2={M2:3d}: {t*1e3:7.3f} ms  err {err:.1e}")
+
+    for M1, M2 in ((128, 256), (256, 128)):
+        f = jax.jit(lambda v: sum(jnp.sum(jnp.abs(p))
+                                  for p in rfft_mxu_b(v, M1, M2)))
+        t = timeit(f, x, null=null)
+        g = jax.jit(lambda v: rfft_mxu_b(v, M1, M2))
+        got = np.asarray(g(x)[0]) + 1j * np.asarray(g(x)[1])
+        err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+        print(f"B M1={M1:3d} M2={M2:3d}: {t*1e3:7.3f} ms  err {err:.1e}")
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "variants":
+    variants()
