@@ -314,14 +314,20 @@ def bench_patternlab(extras):
 
     wall = _time_best(run, repeats=2, check=out)
 
-    # compute-only: prebuilt synth + time-opped events (host bucket prep
-    # is ~1 ms but keeps the metric comparable to the other configs)
+    # compute-only: prepared program (device-resident packs), one jit
+    # dispatch per call — the SAME protocol as the other configs
+    # (microsound times its fused call on a pre-uploaded chunk; tape
+    # quotes the host walk separately).  The host prepare pass is
+    # reported on its own line.
     ev = pl.apply_time_ops(events, cfg)
     synth = pl.MegaDriveInspiredSynth(cfg.sample_rate, seed=cfg.seed)
+    t0 = time.perf_counter()
+    prep = synth.prepare(ev, cfg.seconds)
+    extras["patternlab_prepare_ms"] = round(
+        (time.perf_counter() - t0) * 1e3, 2)
     extras["rtf_patternlab_compute"] = round(cfg.seconds / _time_device(
-        lambda: synth.render(ev, seconds=cfg.seconds,
-                             master_gain=cfg.master_gain,
-                             device_out=True)), 2)
+        lambda: synth.render_prepared(prep, master_gain=cfg.master_gain,
+                                      device_out=True)), 2)
     return cfg.seconds / wall
 
 
