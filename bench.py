@@ -93,6 +93,15 @@ def _time_device(fn, K=5):
         if total >= 4.0 * lat or K >= 160:
             break
         K *= 4
+    # best-of-3 at the settled K: a single loop's jitter (shared tunnel,
+    # host scheduling) is +-15% on millisecond kernels; the MINIMUM of
+    # repeated loops estimates the true device cost (noise only ADDS)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(K):
+            y = fn()
+        drain(y)
+        total = min(total, time.perf_counter() - t0)
     net = (total - lat) / K
     return net if net > 0 else total / K
 
