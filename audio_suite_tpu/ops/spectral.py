@@ -187,10 +187,27 @@ def _lerp_uniform_affine(y, scale, block: int = 512, max_scale: float = 4.0):
 
 
 def fft_warp_power(x, power):
-    """Power-law frequency warp (main_v2.py:103-115)."""
+    """Power-law frequency warp (main_v2.py:103-115).
+
+    The warp grid is precomputed in f64 on the host when `power` is a
+    concrete config constant (it always is from the engines —
+    ChainCfg.nl_warp_power is static): TPU's f32 pow is only ~1e-6
+    accurate and its position error flips floor() bin decisions near
+    kmax — measured -31 dBFS against the f64 oracle before this fix
+    (tools/tpu_parity.py "microsound warp hi-rate").  With the host
+    grid only the lerp arithmetic itself remains f32."""
     L = x.shape[-1]
     X = _rfft(x)
-    k = jnp.arange(X.shape[-1], dtype=jnp.float32)
+    nf = X.shape[-1]
+    if isinstance(power, (int, float, np.floating, np.integer)):
+        k = np.arange(nf, dtype=np.float64)
+        kmax = max(1.0, float(nf - 1))
+        pos = (k / kmax) ** (1.0 / max(1e-6, float(power))) * kmax
+        i0 = np.clip(np.floor(pos), 0.0, nf - 2).astype(np.int32)
+        t = (pos - i0).astype(np.float32)   # pos in [0, kmax]: all valid
+        Y = X[..., i0] * (np.float32(1.0) - t) + X[..., i0 + 1] * t
+        return _irfft(Y, L)
+    k = jnp.arange(nf, dtype=jnp.float32)   # traced fallback
     kmax = jnp.maximum(1.0, k[-1])
     u = k / kmax
     u_in = jnp.power(u, 1.0 / jnp.maximum(1e-6, jnp.asarray(power, jnp.float32)))
@@ -375,9 +392,20 @@ def cepstral_warp(x, factor):
     floor = jnp.float32(1e-4) * jnp.maximum(jnp.max(mag), 1e-30)
     logmag = jnp.log(jnp.maximum(mag, floor))
     cep = _irfft(jax.lax.complex(logmag, jnp.zeros_like(logmag)), L)
-    t = jnp.arange(L, dtype=jnp.float32)
-    t_in = t / jnp.maximum(1e-12, jnp.asarray(factor, jnp.float32))
-    cep2 = _lerp_uniform(cep, t_in)
+    if isinstance(factor, (int, float, np.floating, np.integer)):
+        # static config factor: f64 host quefrency grid (same rationale
+        # as fft_warp_power — f32 position division flips floor() bins)
+        pos = (np.arange(L, dtype=np.float64)
+               / max(1e-12, float(factor)))
+        valid = pos <= float(L - 1)
+        i0 = np.clip(np.floor(pos), 0.0, L - 2).astype(np.int32)
+        t = (pos - i0).astype(np.float32)
+        cep2 = (cep[..., i0] * (np.float32(1.0) - t)
+                + cep[..., i0 + 1] * t) * valid.astype(np.float32)
+    else:
+        t = jnp.arange(L, dtype=jnp.float32)
+        t_in = t / jnp.maximum(1e-12, jnp.asarray(factor, jnp.float32))
+        cep2 = _lerp_uniform(cep, t_in)
     logmag2 = _rfft(cep2).real
     mag2 = jnp.exp(logmag2)
     Y = mag2 * jnp.exp(1j * jnp.angle(X))

@@ -77,6 +77,23 @@ def main():
         report(f"microsound {mode[:16]}",
                max_dev_dbfs(out, render_ref(mp, mprog)))
 
+    # high-rate NON-shared warp chain: per-event stretch breakpoints at a
+    # design rate that pushes L past the MXU-DFT threshold (16384), so
+    # the vmapped per-event spectral path exercises ops/mxu_fft.py on
+    # this device (the small-L configs above fall through to XLA's fft)
+    mp = ms.MicrosoundParams.from_dict(dict(
+        base_sr=96000, out_dur_s=0.25, time_unfold=60.0, micro_ms=4.0,
+        seed=77, grains_per_sec=40.0, max_grains=16,
+        gen_mode="Noise burst", bandlimit_on=True,
+        bandlimit_out_hz=18000.0, bandlimit_roll_hz=2500.0,
+        nl_warp_on=True, nl_warp_power=1.3, er_cloud_on=False,
+        stereo_on=True, bp_density="", bp_unfold="", bp_cutoff="",
+        bp_stretch="0:1.0, 0.12:2.4"))
+    mprog = ms.build_program(mp)
+    assert int(mprog["L"]) >= 16384, mprog["L"]
+    out, _ = ms.render(mp)
+    report("microsound warp hi-rate", max_dev_dbfs(out, render_ref(mp, mprog)))
+
     from audio_suite_tpu.models import patternlab as pl
     from oracles.patternlab_ref import render_np
     rc = pl.RenderConfig(sample_rate=22050, seconds=1.0, bpm=140, seed=4)
