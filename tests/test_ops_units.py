@@ -360,7 +360,7 @@ def test_mxu_fft_matches_numpy():
     from audio_suite_tpu.ops import mxu_fft
 
     rng = np.random.default_rng(7)
-    for L in (16384, 32768):
+    for L in (16384, 32768, 65536):   # 65536 = the partitioned-conv nfft
         E = 3
         x = rng.standard_normal((E, L)).astype(np.float32)
         ref = np.fft.rfft(x.astype(np.float64))
@@ -372,7 +372,8 @@ def test_mxu_fft_matches_numpy():
             lambda z: mxu_fft.irfft(z, L))(jnp.asarray(
                 ref.astype(np.complex64))))
         yref = np.fft.irfft(ref, n=L)
-        assert np.max(np.abs(y - yref)) < 2e-6, L
+        # f32 reduction error grows ~sqrt(L)
+        assert np.max(np.abs(y - yref)) < 2e-6 * (L / 16384) ** 0.5, L
 
     # vmap over a batch axis (the _tilted_noise call pattern)
     L = 16384
