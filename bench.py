@@ -302,6 +302,28 @@ def bench_microsound(extras):
     extras["rtf_microsound_compute"] = round(seconds / _time_device(
         lambda: fused(c0, None, er_comb, irm)[2]), 2)
     extras["microsound_oa"] = oa
+
+    # the north-star metric text says "stereo 48 kHz": the same pipeline
+    # at 48 kHz output (x100 unfold -> 4.8 MHz design rate) — the 192 kHz
+    # config above is the 4x-harder superset
+    p48 = ms.MicrosoundParams.from_dict({**p.to_dict(), "base_sr": 48000})
+    prog48 = ms.build_program(p48, ir_audio=ir)
+    ec48 = max(1, min(prog48["E"], (1 << 26) // max(1, prog48["L"])))
+    chunks48, ring48 = ms._chunk_events(prog48, ec48)
+    oa48 = "ring" if (ring48 and pallas_oa.ring_available()) else "dus"
+    cfg48 = ms.chain_cfg(p48, prog48, ec48, oa=oa48)
+    er48 = space.er_tap_kernel(int(p48.er_taps), float(p48.er_max_ms),
+                               48000, int(p48.seed))
+    er48c = np.convolve(er48.astype(np.float64),
+                        irm.astype(np.float64)).astype(np.float32)
+    fx48 = ms.FxCfg(out_n=prog48["out_n"], sr=48000,
+                    env=fx.env, er_on=True, ir_on=True, stereo_on=True,
+                    stereo_width=fx.stereo_width, sat_drive=fx.sat_drive,
+                    peak=fx.peak)
+    fused48 = ms._fused_fn(cfg48, fx48)
+    c48 = {k: jnp.asarray(v) for k, v in chunks48[0].items()}
+    extras["rtf_microsound_48k_compute"] = round(seconds / _time_device(
+        lambda: fused48(c48, None, er48c, irm)[2]), 2)
     return seconds / wall
 
 
