@@ -388,3 +388,25 @@ def test_mxu_fft_matches_numpy():
     got = np.asarray(jax.jit(lambda z: mxu_fft.irfft(z, L))(jnp.asarray(Z)))
     ref = np.fft.irfft(Z.astype(np.complex128), n=L)
     assert np.max(np.abs(got - ref)) < 2e-5
+
+
+def test_pallas_read_planning():
+    """ops/pallas_read: the experiment kernel's host-side planning.  The
+    kernel itself is TPU-only (a measured TIE with the XLA blockwise
+    engine — see the module docstring); on CPU only the availability
+    gate and the static dimension planner are exercised."""
+    from audio_suite_tpu.ops import pallas_read
+
+    assert pallas_read.read_available() is False  # CPU backend
+
+    for span in (1, 2, 4, 8):
+        for cb in (16, 32, 64):
+            WB, SPAN = pallas_read.plan_dims(span, cb)
+            assert SPAN % 8 == 0
+            # any in-window block fits: cb blocks advancing `span` rows
+            # per block plus the window itself
+            assert SPAN >= cb * span + WB
+            # window covers a block's worst-case row spread + lerp tap
+            assert WB >= span + 2
+    WB8, _ = pallas_read.plan_dims(4, 32, align8=True)
+    assert WB8 >= pallas_read.plan_dims(4, 32)[0] + 8
