@@ -192,15 +192,71 @@ def terrain_static(params: ModelParams, elev):
             "baseline": baseline}
 
 
+class DenseSpatial:
+    """Spatial coupling of the CA step on one device (the default).
+
+    step_device routes everything that reaches OUTSIDE a cell's own row
+    block through this adapter — the global cell-index grid that keys the
+    counter-based RNG, the 8-neighbour stencil, the ember candidate
+    selection + arrival scatter, and the stat reductions — so
+    parallel/ca.py can swap in a row-sharded implementation (ppermute
+    halos, all_gather'd ember candidates, psum stats) while every
+    per-cell arithmetic op stays THE SAME CODE: the sharded trajectory is
+    bit-identical to this one by construction."""
+
+    def cells(self, H: int, W: int):
+        """Global cell-index grid [H, W] (uint32) for the RNG streams."""
+        return jnp.arange(H * W, dtype=jnp.uint32).reshape(H, W)
+
+    def rows(self, H: int):
+        """Global row-index column [H, 1] (int32) for ember landings."""
+        return jnp.arange(H, dtype=jnp.int32)[:, None]
+
+    def roll_or8(self, m):
+        return _roll_or8(m)
+
+    def ember_arrivals(self, emit, lin, H: int, W: int):
+        """Ember arrival mask from the emit mask and per-cell landing
+        indices (global linear).  Returns bool [H, W].
+
+        Emitters are sparse (ember_rate * fire cells); a dense 35k-index
+        scatter costs ~7 ns/index on v5e (~250 us/step).  Compact
+        emitters to EMBER_CAP slots via top_k over their linear indices
+        (largest first; deterministic, mirrored by the oracle) and
+        scatter only those.  The cap binds only if >EMBER_CAP cells emit
+        in one step — >83% of the grid simultaneously burning at default
+        params."""
+        key = jnp.where(emit.reshape(-1),
+                        jnp.arange(H * W, dtype=jnp.int32), -1)
+        sel, _ = jax.lax.top_k(key, min(EMBER_CAP, H * W))
+        ok_sel = sel >= 0
+        land = lin.reshape(-1)[jnp.clip(sel, 0, H * W - 1)]
+        arrivals = jnp.zeros(H * W, jnp.int32).at[land].add(
+            ok_sel.astype(jnp.int32))
+        return (arrivals > 0).reshape(H, W)
+
+    def rsum(self, x):
+        """Grid-wide int32 sum (psum over the mesh axis when sharded)."""
+        return jnp.sum(x.astype(jnp.int32))
+
+
+_DENSE_SPATIAL = DenseSpatial()
+
+
 def step_device(carry, step_idx, params: ModelParams, seed: int,
-                terrain: dict | None = None):
-    """One CA step (model.py:121-222) on device.  Returns (carry', stats)."""
+                terrain: dict | None = None,
+                spatial: DenseSpatial | None = None):
+    """One CA step (model.py:121-222) on device.  Returns (carry', stats).
+
+    `spatial` (default DenseSpatial) supplies every spatially-coupled
+    piece; parallel/ca.py passes its row-sharded adapter here."""
     p = params
     H, W = p.h, p.w
+    sp = spatial if spatial is not None else _DENSE_SPATIAL
     state, fuel, moisture, elev, age = (carry["state"], carry["fuel"],
                                         carry["moisture"], carry["elev"],
                                         carry["age"])
-    cells = jnp.arange(H * W, dtype=jnp.uint32).reshape(H, W)
+    cells = sp.cells(H, W)
     base_stream = step_idx.astype(jnp.uint32) * jnp.uint32(_SITES)
 
     def u(site, idx=None):
@@ -245,7 +301,7 @@ def step_device(carry, step_idx, params: ModelParams, seed: int,
 
     # neighbourhood fire mask
     fire = state == FIRE
-    fire_n = _roll_or8(fire)
+    fire_n = sp.roll_or8(fire)
     trees = state == TREE
 
     # terrain + wind bias: hoisted (terrain_static)
@@ -284,25 +340,12 @@ def step_device(carry, step_idx, params: ModelParams, seed: int,
     jy = q12(nrm(_S_JY)) * sig
     dx = (wx * d + jx).astype(jnp.int32)   # wx*d exact: 12-bit x small int
     dy = (wy * d + jy).astype(jnp.int32)
-    yi = jnp.arange(H, dtype=jnp.int32)[:, None]
+    yi = sp.rows(H)
     xi = jnp.arange(W, dtype=jnp.int32)[None, :]
     yy = jnp.mod(yi + dy, H)
     xx = jnp.mod(xi + dx, W)
     lin = yy * W + xx
-    # emitters are sparse (ember_rate * fire cells); a dense 35k-index
-    # scatter costs ~7 ns/index on v5e (~250 us/step).  Compact emitters
-    # to EMBER_CAP slots via top_k over their linear indices (largest
-    # first; deterministic, mirrored by the oracle) and scatter only
-    # those.  The cap binds only if >EMBER_CAP cells emit in one step —
-    # >83% of the grid simultaneously burning at default params.
-    key = jnp.where(emit.reshape(-1),
-                    jnp.arange(H * W, dtype=jnp.int32), -1)
-    sel, _ = jax.lax.top_k(key, min(EMBER_CAP, H * W))
-    ok_sel = sel >= 0
-    land = lin.reshape(-1)[jnp.clip(sel, 0, H * W - 1)]
-    arrivals = jnp.zeros(H * W, jnp.int32).at[land].add(
-        ok_sel.astype(jnp.int32))
-    arrived = (arrivals > 0).reshape(H, W)
+    arrived = sp.ember_arrivals(emit, lin, H, W)
     p_ember = jnp.clip(
         jnp.float32(p.spotting_strength)
         * (jnp.float32(1.0) - moisture)
@@ -311,8 +354,8 @@ def step_device(carry, step_idx, params: ModelParams, seed: int,
     ember_ignitions = arrived & trees & (u(_S_IGNITE) < p_ember)
 
     ignitions = ignitions | ember_ignitions
-    n_ignitions = jnp.sum(ignitions.astype(jnp.int32))
-    n_embers = jnp.sum(emit.astype(jnp.int32))
+    n_ignitions = sp.rsum(ignitions)
+    n_embers = sp.rsum(emit)
     state = jnp.where(ignitions, FIRE, state)
 
     # regrowth
@@ -346,10 +389,10 @@ def step_device(carry, step_idx, params: ModelParams, seed: int,
              "elev": elev, "age": age, "t": carry["t"] + 1}
     stats = jnp.stack([
         carry["t"],
-        jnp.sum((state == TREE).astype(jnp.int32)),
-        jnp.sum((state == FIRE).astype(jnp.int32)),
-        jnp.sum((state == ASH).astype(jnp.int32)),
-        jnp.sum((state == EMPTY).astype(jnp.int32)),
+        sp.rsum(state == TREE),
+        sp.rsum(state == FIRE),
+        sp.rsum(state == ASH),
+        sp.rsum(state == EMPTY),
         n_ignitions,
         n_embers,
         rain.astype(jnp.int32),

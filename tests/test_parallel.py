@@ -201,3 +201,46 @@ def test_mxu_fft_under_sharded_vmap():
     got2 = np.asarray(jnp.abs(g(x)))
     ref2 = np.abs(np.fft.rfft(x.astype(np.float64), axis=-1))
     assert np.max(np.abs(got2 - ref2)) / np.max(ref2) < 2e-6
+
+
+def test_ca_spatial_sharding_bit_exact():
+    """parallel/ca.py: the row-sharded Forest Fire CA (ppermute stencil
+    halos, all_gather'd ember candidates, psum stats) is bit-identical to
+    the single-device engine over a 40-step trajectory — same stats rows,
+    same final state/fuel/moisture/age fields."""
+    require_devices(8)
+    from audio_suite_tpu.models import forestfire as ff
+    from audio_suite_tpu.parallel import ca
+
+    mesh = pb.make_mesh(8, axis_names=("sp",))
+    params = ff.ModelParams()            # h=160 divides over 8 shards
+    model = ff.ForestFireModel(params, seed=2)
+    model.ignite_at(110, 80, radius=4)
+    carry0 = {k: np.array(v) for k, v in model._np.items()}
+
+    carry_sh, stats_sh = ca.simulate_sharded(params, carry0, 40, mesh,
+                                             seed=2)
+    stats_dense = model.simulate(40)
+
+    assert np.array_equal(np.asarray(stats_dense, np.int64),
+                          np.asarray(stats_sh, np.int64))
+    final_dense = model._np
+    for k in ("state", "fuel", "moisture", "age"):
+        assert np.array_equal(final_dense[k], np.asarray(carry_sh[k])), k
+    assert int(np.asarray(carry_sh["t"])) == int(final_dense["t"])
+
+    # embers actually flew and fires actually spread across shard rows
+    # during the window (otherwise the halo/all_gather paths were idle)
+    assert stats_sh[:, 6].sum() > 0          # embers column
+    assert stats_sh[-1, 2] > stats_sh[0, 2]  # burning grew
+
+
+def test_ca_sharding_rejects_indivisible_grid():
+    require_devices(8)
+    from audio_suite_tpu.models import forestfire as ff
+    from audio_suite_tpu.parallel import ca
+
+    mesh = pb.make_mesh(8, axis_names=("sp",))
+    params = ff.ModelParams(h=150)       # 150 % 8 != 0
+    with pytest.raises(ValueError, match="divide"):
+        ca.sharded_sim_fn(params, 1, 4, mesh)
