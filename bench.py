@@ -21,6 +21,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                                    ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+# BENCH_SMOKE=1: shrink every config to CI scale (seconds -> fractions of a
+# second) so the SAME code paths — program builders, engine renders, the
+# compute-timing protocol, link stats — run in a few seconds on CPU.  The
+# numbers are meaningless in smoke mode; the point is that a refactor of
+# any engine seam the bench touches fails the test suite instead of the
+# driver's round-end scoring run (tests/test_bench_smoke.py).
+_SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0") or "0"))
+
 
 def _time_best(fn, repeats=3, check=None):
     """Best wall-clock of `repeats` timed runs after one warmup/compile.
@@ -135,7 +143,7 @@ def bench_tape(extras):
     from audio_suite_tpu.models import tape
 
     sr = 48000
-    seconds = 180.0        # BASELINE.json config 1: "chop 3-min WAV"
+    seconds = 4.0 if _SMOKE else 180.0   # BASELINE.json config 1: "chop 3-min WAV"
     audio = _test_audio(sr, seconds)
     n = len(audio)
     markers = [int(n * f) for f in (0.12, 0.3, 0.45, 0.6, 0.8)]
@@ -212,8 +220,8 @@ def bench_scrub(extras):
     from audio_suite_tpu.models import scrub
 
     sr = 48000
-    audio = _test_audio(sr, 10.0)
-    seconds = 30.0
+    audio = _test_audio(sr, 2.0 if _SMOKE else 10.0)
+    seconds = 2.0 if _SMOKE else 30.0
     blocks = int(seconds * sr / scrub.BLOCK_SIZE)
     cfg = scrub.ScrubConfig(sample_rate=sr, head_count=3)
     trace = scrub.scripted_gesture_trace(
@@ -259,15 +267,15 @@ def bench_microsound(extras):
     x4 spectral stretch, IR convolution."""
     from audio_suite_tpu.models import microsound as ms
 
-    sr = 192000
-    seconds = 4.0
+    sr = 48000 if _SMOKE else 192000
+    seconds = 0.5 if _SMOKE else 4.0
     rng = np.random.default_rng(11)
     ir = (rng.standard_normal(8192) * np.exp(-np.arange(8192) / 800.0)) \
         .astype(np.float32)
     p = ms.MicrosoundParams.from_dict(dict(
         base_sr=sr, out_dur_s=seconds, time_unfold=100.0,
         gen_mode="Noise burst", micro_ms=1.0, grains_per_sec=60.0,
-        max_grains=400, partial_stretch=4.0, bandlimit_on=True,
+        max_grains=24 if _SMOKE else 400, partial_stretch=4.0, bandlimit_on=True,
         bandlimit_out_hz=18000.0, bandlimit_roll_hz=2500.0,
         er_cloud_on=True, space_ir_on=True, stereo_on=True,
         bp_density="", bp_unfold="", bp_cutoff="", bp_stretch="", seed=5))
@@ -332,7 +340,8 @@ def bench_patternlab(extras):
     FM+PSG voice bank."""
     from audio_suite_tpu.models import patternlab as pl
 
-    cfg = pl.RenderConfig(sample_rate=44100, seconds=8.0, bpm=128, seed=9)
+    cfg = pl.RenderConfig(sample_rate=44100, seconds=2.0 if _SMOKE else 8.0,
+                          bpm=128, seed=9)
     events = []
     for gen in pl.list_generators():
         if gen == "Python Script":
@@ -377,7 +386,7 @@ def bench_grid_forestfire(extras):
     from audio_suite_tpu.events import rules as R
 
     sr = 48000
-    seconds = 16.0
+    seconds = 4.0 if _SMOKE else 16.0
     cells_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "examples", "cells")
     cell_files = ["slow_pulse_pad.py", "euclid_clicks.py",

@@ -126,3 +126,38 @@ def test_forestfire_fuzz(seed):
                     radius=int(rng.integers(1, 4)))
     stats = model.simulate(int(rng.integers(5, 40)))
     assert _finite(stats)
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_forestfire_sharded_fuzz(seed):
+    """Random grid shapes/params: the row-sharded CA must stay bit-equal
+    to the dense engine (not just finite) for any divisible grid."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    from audio_suite_tpu.parallel import batch as pb, ca
+
+    rng = np.random.default_rng(seed)
+    D = int(rng.choice([2, 4]))
+    mesh = pb.make_mesh(D, axis_names=("sp",))
+    params = ff.ModelParams(
+        h=D * int(rng.integers(4, 16)),
+        w=int(rng.integers(8, 64)),
+        ember_rate=float(rng.uniform(0.0, 0.4)),
+        wind_dir_deg=float(rng.uniform(0.0, 360.0)),
+        rain_chance=float(rng.uniform(0.0, 0.2)))
+    model = ff.ForestFireModel(params, seed=seed)
+    model.ignite_at(int(rng.integers(0, params.w)),
+                    int(rng.integers(0, params.h)),
+                    radius=int(rng.integers(1, 4)))
+    carry0 = {k: np.array(v) for k, v in model._np.items()}
+    n = int(rng.integers(5, 25))
+
+    carry_sh, stats_sh = ca.simulate_sharded(params, carry0, n, mesh,
+                                             seed=seed)
+    stats_dense = model.simulate(n)
+    assert np.array_equal(np.asarray(stats_dense, np.int64),
+                          np.asarray(stats_sh, np.int64))
+    for k in ("state", "fuel", "moisture", "age"):
+        assert np.array_equal(model._np[k], np.asarray(carry_sh[k])), k
