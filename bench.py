@@ -199,13 +199,18 @@ def bench_tape(extras):
 
     asec, y = run_tweak()
     float(jnp.sum(jnp.abs(jnp.ravel(y)).astype(jnp.float32)))  # settle
-    t0 = time.perf_counter()
+    # best-of-3 loops of K=3: the host trajectory walk is the one bench
+    # stage exposed to host scheduling noise, so it gets the same
+    # minimum-of-repeats treatment as _time_device / _time_best
     K = 3
-    for _ in range(K):
-        asec, y = run_tweak()
-    float(jnp.sum(jnp.abs(jnp.ravel(y)).astype(jnp.float32)))
-    extras["rtf_tape_param_tweak"] = round(
-        asec / max(1e-9, (time.perf_counter() - t0) / K), 2)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(K):
+            asec, y = run_tweak()
+        float(jnp.sum(jnp.abs(jnp.ravel(y)).astype(jnp.float32)))
+        best = min(best, time.perf_counter() - t0)
+    extras["rtf_tape_param_tweak"] = round(asec / max(1e-9, best / K), 2)
     return (frames / sr) / wall
 
 
@@ -287,6 +292,7 @@ def bench_microsound(extras):
     wall = _time_best(run, repeats=2, check=out)
 
     # compute-only: the fused single-chunk device call, output on device
+    import jax
     import jax.numpy as jnp
     from audio_suite_tpu.ops import pallas_oa, space
     prog = ms.build_program(p, ir_audio=ir)
@@ -307,8 +313,14 @@ def bench_microsound(extras):
                   sat_drive=float(p.sat_drive), peak=float(p.peak))
     fused = ms._fused_fn(cfg, fx)
     c0 = {k: jnp.asarray(v) for k, v in chunks[0].items()}
+    # the ER*IR kernel and the raw IR go up ONCE: passing them as numpy
+    # would re-upload ~100 KB h2d inside every timed dispatch — host-side
+    # serialization that is not part of the device-resident metric and
+    # dominates the jitter under tunnel load
+    er_dev = jax.device_put(jnp.asarray(er_comb))
+    irm_dev = jax.device_put(jnp.asarray(irm))
     extras["rtf_microsound_compute"] = round(seconds / _time_device(
-        lambda: fused(c0, None, er_comb, irm)[2]), 2)
+        lambda: fused(c0, None, er_dev, irm_dev)[2]), 2)
     extras["microsound_oa"] = oa
 
     # the north-star metric text says "stereo 48 kHz": the same pipeline
@@ -330,8 +342,9 @@ def bench_microsound(extras):
                     peak=fx.peak)
     fused48 = ms._fused_fn(cfg48, fx48)
     c48 = {k: jnp.asarray(v) for k, v in chunks48[0].items()}
+    er48_dev = jax.device_put(jnp.asarray(er48c))
     extras["rtf_microsound_48k_compute"] = round(seconds / _time_device(
-        lambda: fused48(c48, None, er48c, irm)[2]), 2)
+        lambda: fused48(c48, None, er48_dev, irm_dev)[2]), 2)
     return seconds / wall
 
 
