@@ -805,6 +805,561 @@ def crossval_microsound_e2e(modes=None) -> list[Row]:
 
 
 # ----------------------------------------------------------------------------
+# TapeTUC: the literal provide_samples hot loop (Tape…py:767-911)
+# ----------------------------------------------------------------------------
+
+class _MathSinQueue(types.ModuleType):
+    """math proxy whose sin() pops injected values (everything else is real
+    math).  provide_samples calls math.sin exactly twice per output sample
+    (wow then flutter, Tape…py:884-891)."""
+
+    def __init__(self, values):
+        super().__init__("math_proxy")
+        self._q = np.asarray(values, np.float64)
+        self._i = 0
+
+    def sin(self, _x):
+        v = self._q[self._i]
+        self._i += 1
+        return float(v)
+
+    def __getattr__(self, k):
+        return getattr(math, k)
+
+
+def _mk_ref_looper(ns, audio, sr, markers, speeds, revs, *, tape_age=50,
+                   splice_on=True, anticlick_on=True, anticlick_amount=50,
+                   inertia_on=False, inertia_amount=50):
+    """Instantiate the reference TapeLooper without Qt: __new__ + the exact
+    attribute set from Tape…py:50-105, then the real
+    recompute_boundaries_and_sections."""
+    import threading
+    TL = ns["TapeLooper"]
+    lp = TL.__new__(TL)
+    lp.lock = threading.RLock()
+    lp.audio_data = np.asarray(audio, np.float32)   # load path dtype
+
+    lp.sample_rate = sr
+    lp.num_samples = len(audio)
+    lp.play_pos = 0.0
+    lp.markers = sorted(int(m) for m in markers)
+    lp.section_speeds = list(speeds)
+    lp.section_reverse = list(revs)
+    lp.tape_age = tape_age
+    lp.enable_splice_fx = splice_on
+    lp.inertia_enabled = inertia_on
+    lp.inertia_amount = inertia_amount
+    lp.current_speed = 1.0
+    lp.boundary_smooth_len = 400
+    lp.anticlick_enabled = anticlick_on
+    lp.anticlick_amount = anticlick_amount
+    lp.wow_phase = 0.0
+    lp.flutter_phase = 0.0
+    lp.splice_env_len = 256
+    x = np.linspace(0, 1, lp.splice_env_len, dtype=np.float32)
+    lp.splice_env = 1.0 + 0.8 * np.exp(-5.0 * x)
+    lp.splice_remaining = 0
+    lp.splice_index = 0
+    lp.undo_stack = []
+    lp._suppress_undo = False
+    lp.is_recording = False
+    lp.recompute_boundaries_and_sections()
+    return lp
+
+
+def _ref_tape_out(lp, T, block=4800):
+    """Pull T frames through the literal hot loop in realtime-sized blocks
+    (the per-block f64 phase wrap at Tape…py:895-897 is part of the
+    semantics)."""
+    outs = []
+    t = 0
+    while t < T:
+        b = min(block, T - t)
+        outs.append(lp.provide_samples(b))
+        t += b
+    return np.concatenate(outs).astype(np.float64) / 32767.0
+
+
+def _tape_test_signal(n, sr, seed=11, f_max=1200.0):
+    """Band-limited test tape: position-drift deviations scale with the
+    signal's per-sample slope, so the tape rows use a <=1.2 kHz mixture
+    (documented in the row notes; broadband parity is covered by the
+    engine-vs-oracle suite where positions are bit-identical)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    x = np.zeros(n)
+    for f in np.linspace(90.0, f_max, 12):
+        x += rng.uniform(0.3, 1.0) * np.sin(
+            2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+    x *= 0.6 / np.max(np.abs(x))
+    return x.astype(np.float32)
+
+
+def _fw_tape_params(sr, markers, speeds, revs, **kw):
+    from audio_suite_tpu.models.tape import TapeParams
+    return TapeParams(sample_rate=sr, markers=list(markers),
+                      section_speeds=list(speeds),
+                      section_reverse=list(revs), **kw)
+
+
+def _fw_tape_i16(audio, params, T):
+    """Framework render quantized with the reference's int16 convention
+    (int() truncation toward zero, Tape…py:860-861)."""
+    from audio_suite_tpu.models.tape import render_tape
+    y = render_tape(np.asarray(audio, np.float32), params, T)
+    return np.trunc(np.clip(y, -1.0, 1.0) * 32767.0) / 32767.0
+
+
+def crossval_tape() -> list[Row]:
+    from audio_suite_tpu.models import tape as fw_tape
+    rows: list[Row] = []
+    sr = 48000
+    n = 30000
+    audio = _tape_test_signal(n, sr)
+    T = 48000
+    markers = [9000, 19500]
+    speeds = [1.0, 0.5, 2.0]          # exactly representable after fixq
+    revs = [False, True, False]
+
+    # --- convention row: the quantized wow/flutter curve itself ---
+    mod_fw = fw_tape.wow_flutter_mod(T, sr, 50)
+    a = 50 / 100.0
+    wd, fd = 0.001 + 0.006 * a, 0.0005 + 0.003 * a
+    wp = 2 * np.pi * 0.4 * np.arange(T, dtype=np.float64) / sr
+    fp = 2 * np.pi * 7.0 * np.arange(T, dtype=np.float64) / sr
+    mod_ref = np.clip(1.0 + wd * np.sin(wp) + fd * np.sin(fp), 0.1, 3.0)
+    rows.append(Row("tape wow/flutter mod curve (12-bit sin + fixq)",
+                    max_dev_dbfs(np.asarray(mod_fw, np.float64), mod_ref),
+                    -115.0,
+                    "f64 math.sin accumulation (Tape…py:884-891) vs the "
+                    "framework's cycle-domain 12-bit-significand twin; the "
+                    "e2e consequence is the position-drift integral of "
+                    "this delta"))
+
+    def run_pair(name, bound, note, *, markers=markers, speeds=speeds,
+                 revs=revs, T=T, inject_mod=True, **kw):
+        lkw = dict(kw)
+        p = _fw_tape_params(sr, markers, speeds, revs,
+                            tape_age=lkw.pop("tape_age", 50),
+                            enable_splice_fx=lkw.pop("splice_on", True),
+                            anticlick_enabled=lkw.pop("anticlick_on", True),
+                            anticlick_amount=lkw.pop("anticlick_amount", 50),
+                            inertia_enabled=lkw.pop("inertia_on", False),
+                            inertia_amount=lkw.pop("inertia_amount", 50))
+        ns = load_ref_tape()
+        if inject_mod:
+            # feed the reference loop sin values that reproduce the
+            # framework's quantized mod curve exactly: sin_wow[i] =
+            # (mod_q[i]-1)/wd, sin_flutter[i] = 0 -> mod_ref == mod_q to
+            # f64 rounding.  Isolates the int32 fixed-point position
+            # algebra + interpolation + anticlick/splice decisions from
+            # the (separately measured) mod-curve convention.
+            prog = fw_tape.build_tape_program(np.asarray(audio, np.float32),
+                                              p, T)
+            mq = np.asarray(prog["mod_q"], np.float64)
+            aa = p.tape_age / 100.0
+            wd_l = 0.001 + 0.006 * aa
+            q = np.zeros(2 * T)
+            q[0::2] = (mq - 1.0) / wd_l
+            ns["math"] = _MathSinQueue(q)   # methods resolve math via ns
+        lp = _mk_ref_looper(ns, audio, sr, markers, speeds, revs,
+                            tape_age=p.tape_age,
+                            splice_on=p.enable_splice_fx,
+                            anticlick_on=p.anticlick_enabled,
+                            anticlick_amount=p.anticlick_amount,
+                            inertia_on=p.inertia_enabled,
+                            inertia_amount=p.inertia_amount)
+        ref_out = _ref_tape_out(lp, T)
+        fw_out = _fw_tape_i16(audio, p, T)
+        drift = None
+        from audio_suite_tpu.models.tape import build_tape_program, \
+            tape_table_render
+        prog = build_tape_program(np.asarray(audio, np.float32), p, T)
+        _, final = tape_table_render(prog)
+        import audio_suite_tpu.ops.fixq as fixq
+        fw_pos = float(final["whole"]) \
+            + float(final["frac"]) * float(fixq.POS_INV_F)
+        drift = abs(fw_pos % n - float(lp.play_pos) % n)
+        drift = min(drift, n - drift)
+        rows.append(_row(name, fw_out, ref_out, bound=bound,
+                         note=note + f"; final-position drift "
+                              f"{drift:.2e} samples"))
+
+    # splice triggers (idx0 == boundary hit, Tape…py:851-853) are discrete
+    # events: any reimplementation that does not replicate the reference's
+    # float trajectory bit-for-bit can hit a boundary one output sample
+    # earlier/later (envelope shifted by 1) or, at speeds > 1, skip a hit
+    # the other side makes.  Measured separately; the algebra rows below
+    # keep splice off.
+    run_pair("tape e2e [mod-injected, anticlick, speeds+reverse]",
+             -55.0, "fixed-point position algebra vs f64 floats; measured",
+             splice_on=False)
+    run_pair("tape e2e [mod-injected, inertia 60]",
+             -25.0, "documented convention: the 2**-22-grid one-pole "
+                    "FREEZES within 2**-23/alpha of the target (here "
+                    "<=1.8e-3, i.e. <=0.18% speed — below the age-50 wow "
+                    "depth of 0.45%) while the f64 reference converges "
+                    "asymptotically; the freeze is what compresses the "
+                    "speed curve into run tables (ops/varispeed.py:217-222)",
+             splice_on=False, inertia_on=True, inertia_amount=60,
+             speeds=[1.0, 0.5, 1.25], revs=[False, False, False])
+    run_pair("tape e2e [mod-injected, splice on, unit speeds]",
+             -30.0, "splice trigger alignment: a 1-sample envelope shift "
+                    "at a boundary hit costs env-slope*|x| ~= -36 dBFS; "
+                    "measured", speeds=[1.0, 1.0, 1.0],
+             revs=[False, False, False])
+    run_pair("tape e2e [raw 12-bit mod convention]",
+             -35.0, "no injection: the full documented convention delta "
+                    "(mod-curve quantization integrates into position "
+                    "drift over 1 s)", splice_on=False, inject_mod=False)
+
+    # --- detect_beats: exact marker parity ---
+    rng = np.random.default_rng(5)
+    beats_sig = np.zeros(sr * 3, np.float32)
+    for k in range(0, sr * 3, sr // 2):
+        L = 2000
+        beats_sig[k:k + L] += (np.exp(-np.linspace(0, 8, L))
+                               * np.sin(2 * np.pi * 180.0
+                                        * np.arange(L) / sr)).astype(
+            np.float32)
+    beats_sig += 0.01 * rng.standard_normal(sr * 3).astype(np.float32)
+    ns = load_ref_tape()
+    lp = _mk_ref_looper(ns, beats_sig, sr, [], [1.0], [False])
+    lp.beat_sens = types.SimpleNamespace(value=lambda: 50)
+    lp.push_undo = lambda: None
+    lp.update_markers = lambda: None
+    lp.rebuild_table = lambda: None
+    lp.detect_beats()
+    ref_beats = list(lp.markers)
+    fw_beats = fw_tape.detect_beats(beats_sig, sr, sensitivity=50)
+    rows.append(Row("tape detect_beats (exact markers)",
+                    -200.0 if fw_beats == ref_beats else 0.0, -200.0,
+                    f"{len(ref_beats)} beats; exact list equality"))
+
+    # --- fit-to-target-time retime formula (Tape…py:665-705) ---
+    lp2 = _mk_ref_looper(ns, audio, sr, markers, [1.3, 0.6, 2.2],
+                         [False, False, False])
+    lp2.target_time_edit = types.SimpleNamespace(text=lambda: "1.7")
+    lp2.push_undo = lambda: None
+    lp2.rebuild_table = lambda: None
+    lp2.on_apply_target_time()
+    p3 = _fw_tape_params(sr, markers, [1.3, 0.6, 2.2],
+                         [False, False, False])
+    fw_speeds = fw_tape.fit_to_target_time(p3, n, 1.7)
+    rows.append(_row("tape fit-to-target-time speeds",
+                     np.asarray(fw_speeds), np.asarray(lp2.section_speeds),
+                     bound=-200.0))
+
+    return rows
+
+
+# ----------------------------------------------------------------------------
+# Scrubber: the literal audio_callback (scrubber_0.7.py:157-235)
+# ----------------------------------------------------------------------------
+
+class _LegacyRandomShim:
+    """np.random module shim for the scrubber callback: randn is zeroed
+    (stretch jitter disabled on both sides for injected rows), rand/randint
+    replay the framework's host dropout rng sequence."""
+
+    def __init__(self, rand_q, randint_q):
+        self._rand = list(rand_q)
+        self._randint = list(randint_q)
+
+    def randn(self, *shape):
+        return np.zeros(shape, np.float64)
+
+    def rand(self):
+        # empty queue => dropouts disabled on the framework side; return a
+        # value that can never trigger (the reference still draws per block)
+        return self._rand.pop(0) if self._rand else 1.0
+
+    def randint(self, lo, hi):
+        return self._randint.pop(0)
+
+    def __getattr__(self, k):
+        return getattr(np.random, k)
+
+
+class _NpSinQueue(types.ModuleType):
+    """numpy proxy: np.sin pops injected block vectors (wow then flutter
+    per callback); np.random is replaceable; everything else passes
+    through."""
+
+    def __init__(self, sin_blocks, random_obj):
+        super().__init__("numpy_sin_proxy")
+        self._q = list(sin_blocks)
+        self._random = random_obj
+
+    def sin(self, x):
+        return self._q.pop(0)
+
+    def __getattr__(self, k):
+        if k == "random":
+            return self._random
+        return getattr(np, k)
+
+
+def _dropout_replay(seed, nb):
+    """Replay the framework's dropout rng sequence
+    (models/scrub.build_scrub_program) as (rand draws, randint draws)."""
+    from audio_suite_tpu.models.scrub import (DROPOUT_PROB,
+                                              DROPOUT_MIN_BLOCKS,
+                                              DROPOUT_MAX_BLOCKS)
+    rng = np.random.default_rng(seed)
+    rand_q, randint_q = [], []
+    active, left = False, 0
+    for _ in range(nb):
+        if active:
+            left -= 1
+            if left <= 0:
+                active = False
+        else:
+            r = rng.random()
+            rand_q.append(r)
+            if r < DROPOUT_PROB:
+                k = int(rng.integers(DROPOUT_MIN_BLOCKS,
+                                     DROPOUT_MAX_BLOCKS + 1))
+                randint_q.append(k)
+                active, left = True, k
+    return rand_q, randint_q
+
+
+def crossval_scrub() -> list[Row]:
+    from audio_suite_tpu.models import scrub as fw_scrub
+    from audio_suite_tpu.ops import fixq
+    import jax.numpy as jnp
+    rows: list[Row] = []
+
+    # --- kernel row: the fractional wrap-around tape sampler ---
+    ns = load_ref_scrub()
+    rng = np.random.default_rng(21)
+    n = 16384
+    tape = (rng.standard_normal(n) * 0.5).astype(np.float32)
+    ns["audio_data"] = tape
+    pos = rng.uniform(-3 * n, 3 * n, size=4096)
+    ref_s = ns["sample_from_tape_array"](pos)
+    wf = np.asarray([fixq.split_pos_np(p) for p in pos], np.int64)
+    fw_s = np.asarray(fixq.gather_linear_wrap(
+        jnp.asarray(tape), jnp.asarray(wf[:, 0], jnp.int32),
+        jnp.asarray(wf[:, 1], jnp.int32)))
+    rows.append(_row("scrub sample_from_tape_array", fw_s, ref_s,
+                     bound=-55.0,
+                     note="reference float positions carry f64->f32 "
+                          "rounding near wrap; framework reads at exact "
+                          "22-bit fixed-point positions"))
+
+    # --- e2e: drive the literal callback block-by-block ---
+    sr = 32768            # dyadic sr => block speeds exact under 12-bit sig
+    bs = 1024
+    nb = 40               # 1.25 s
+    n_tape = 32768
+    tape = _tape_test_signal(n_tape, sr, seed=31, f_max=900.0)
+
+    def run_scrub(name, bound, note, base_speed, gesture_blocks, jumps,
+                  heads, inject_lfo=True, dropouts=True):
+        cfg = fw_scrub.ScrubConfig(sample_rate=sr, head_count=heads,
+                                   block_size=bs, seed=77,
+                                   stretch_jitter=False, dropouts=dropouts)
+        trace = fw_scrub.GestureTrace(
+            base_speed=np.full(nb, base_speed, np.float64),
+            gesture_speed=np.asarray(gesture_blocks, np.float64),
+            jump=np.asarray(jumps, np.float64))
+        prog = fw_scrub.build_scrub_program(tape, cfg, trace,
+                                            with_inc=True)
+        fw_out = fw_scrub.render_scrub(tape, cfg, trace)
+
+        # framework final position from the bit-identical NumPy twin
+        inc = np.asarray(prog["inc_fix"], np.int64)
+        reset = prog["reset"]
+        seg = np.cumsum(reset.astype(np.int64))
+        pos_fix = np.zeros(len(inc), np.int64)
+        base_fix = (prog["seg_bases_whole"].astype(np.int64)
+                    * fixq.POS_ONE + prog["seg_bases_frac"])
+        acc = base_fix[0]
+        for i in range(len(inc)):
+            if reset[i]:
+                acc = base_fix[seg[i]]
+            pos_fix[i] = acc
+            acc += inc[i]
+        fw_final = float(acc) / fixq.POS_ONE
+
+        # reference side
+        sin_blocks = []
+        if inject_lfo:
+            consts = fw_scrub._mod_consts(sr)
+            ci, cf_ = consts["ints"], consts["flts"]
+            from audio_suite_tpu.ops import detmath
+            from audio_suite_tpu.ops.fixq import round_sig12_np
+            i = np.arange(nb * bs, dtype=np.uint32)
+            sinw = round_sig12_np(detmath.sin_cycles_np(
+                detmath.phase_cycles_np(i, ci[0], ci[1], cf_[0])))
+            sinf = round_sig12_np(detmath.sin_cycles_np(
+                detmath.phase_cycles_np(i, ci[2], ci[3], cf_[1])))
+            # scale so WOW_DEPTH * injected == cf2 * sinw in f64
+            for b in range(nb):
+                s, e = b * bs, (b + 1) * bs
+                sin_blocks.append(sinw[s:e].astype(np.float64)
+                                  * (float(cf_[2]) / fw_scrub.WOW_DEPTH))
+                sin_blocks.append(sinf[s:e].astype(np.float64)
+                                  * (float(cf_[3])
+                                     / fw_scrub.FLUTTER_DEPTH))
+        rand_q, randint_q = _dropout_replay(77, nb) if dropouts else ([], [])
+        rnd = _LegacyRandomShim(rand_q, randint_q)
+        proxy = (_NpSinQueue(sin_blocks, rnd) if inject_lfo
+                 else _NpProxy(rnd))
+        ns2 = load_ref_scrub(np_proxy=proxy)
+        ns2["STRETCH_DEPTH"] = 0.0
+        if not dropouts:
+            ns2["DROPOUT_PROB"] = -1.0
+        ns2["audio_data"] = tape.astype(np.float32)
+        ns2["sample_rate"] = sr
+        ns2["tape_pos"] = 0.0
+        ns2["playback_time"] = 0.0
+        ns2["current_head_count"] = heads
+        outs = []
+        for b in range(nb):
+            if np.isfinite(trace.jump[b]):
+                ns2["tape_pos"] = float(trace.jump[b])
+            ns2["base_speed_factor"] = float(trace.base_speed[b])
+            ns2["gesture_speed"] = float(trace.gesture_speed[b])
+            o = np.zeros((bs, 2), np.float32)
+            ns2["audio_callback"](o, bs, None, None)
+            outs.append(o[:, 0].copy())
+        ref_out = np.concatenate(outs).astype(np.float64)
+        ref_final = float(ns2["tape_pos"])
+        drift = abs((fw_final - ref_final + n_tape / 2) % n_tape
+                    - n_tape / 2)
+        rows.append(_row(name, np.asarray(fw_out, np.float64), ref_out,
+                         bound=bound,
+                         note=note + f"; final-position drift "
+                              f"{drift:.2e} samples"))
+
+    # dyadic gestures: exact under the 12-bit block-speed convention
+    gest = np.zeros(nb)
+    gest[8:16] = 4096.0
+    gest[16:24] = -2048.0
+    jumps = np.full(nb, np.nan)
+    jumps[28] = 12288.0
+    run_scrub("scrub e2e [LFO-injected, 3 heads, drags+jump+dropouts]",
+              -60.0, "f32 cumsum positions (reference) vs exact int "
+                     "prefix sum", 0.5, gest, jumps, 3)
+    run_scrub("scrub e2e [LFO-injected, 1 head, reverse base]",
+              -60.0, "negative base speed wrap", -0.25, np.zeros(nb),
+              np.full(nb, np.nan), 1, dropouts=False)
+    run_scrub("scrub e2e [raw LFO convention, 2 heads]",
+              -40.0, "no injection: 12-bit cycle-domain LFO vs np.sin on "
+                     "an f32 time vector; drift integrates over 1.25 s",
+              0.5, gest, np.full(nb, np.nan), 2, inject_lfo=False)
+
+    return rows
+
+
+# ----------------------------------------------------------------------------
+# Pattern Lab: the reference app package imports Qt-free — drive it directly
+# ----------------------------------------------------------------------------
+
+def _ev_tuple(e):
+    return (float(e.t0), float(e.dur), float(e.midi), float(e.vel),
+            int(e.chan), str(e.engine))
+
+
+def _to_fw_events(ref_events):
+    from audio_suite_tpu.events.notes import NoteEvent
+    return [NoteEvent(t0=float(e.t0), dur=float(e.dur), midi=float(e.midi),
+                      vel=float(e.vel), chan=int(e.chan),
+                      engine=str(e.engine)) for e in ref_events]
+
+
+def crossval_patternlab(long_seconds: float = 0.0) -> list[Row]:
+    import importlib
+    load_ref_patternlab()
+    r_music = importlib.import_module("ref_pl.app.music")
+    r_patterns = importlib.import_module("ref_pl.app.patterns")
+    r_renderer = importlib.import_module("ref_pl.app.renderer")
+    r_events = importlib.import_module("ref_pl.app.events")
+    from audio_suite_tpu.utils import music as fw_music
+    from audio_suite_tpu.models import patternlab as fw_pl
+    from audio_suite_tpu.events.notes import RenderConfig
+    rows: list[Row] = []
+
+    # --- music math (host, expect exact) ---
+    midis = np.linspace(20.0, 110.0, 181)
+    rows.append(_row("patternlab midi_to_hz",
+                     np.asarray([fw_music.midi_to_hz(m) for m in midis]),
+                     np.asarray([r_music.midi_to_hz(m) for m in midis]),
+                     bound=-200.0))
+    st = list(range(-12, 13))
+    rows.append(_row("patternlab pythagorean_ratio",
+                     np.asarray([fw_music.pythagorean_ratio(s) for s in st]),
+                     np.asarray([r_music.pythagorean_ratio(s) for s in st]),
+                     bound=-200.0))
+    ok = (fw_music.primes_upto(500) == r_music.primes_upto(500)
+          and fw_music.fibonacci(40) == r_music.fibonacci(40))
+    for steps, pulses, rot in ((16, 5, 0), (13, 5, 3), (8, 3, 7),
+                               (12, 12, 1), (7, 0, 0)):
+        ok = ok and np.array_equal(
+            fw_music.euclidean_rhythm(steps, pulses, rot),
+            r_music.euclidean_rhythm(steps, pulses, rot))
+    rng = np.random.default_rng(9)
+    xq = rng.uniform(-1.3, 1.3, 4096)
+    ok = ok and np.allclose(fw_music.quantize_to_bits_np(xq, 10),
+                            r_music.quantize_to_bits(xq, 10), atol=0)
+    rows.append(Row("patternlab music primes/fib/euclid/quantizer",
+                    -200.0 if ok else 0.0, -200.0, "exact equality"))
+
+    # --- generators: event-stream parity (same rng streams, expect exact)
+    cfg_kw = dict(sample_rate=44100, seconds=6.0, bpm=132.0, swing=0.0,
+                  time_stretch=1.0, micro_jitter=0.0, master_gain=0.9,
+                  seed=4242)
+    r_cfg = r_events.RenderConfig(**cfg_kw)
+    f_cfg = RenderConfig(**cfg_kw)
+    gens = ["Glass Cells", "Fibonacci Gate", "Prime Phase",
+            "Pythagorean Canon"]
+    gen_kwargs = {"Glass Cells": dict(drift=1.0)}
+    for g in gens:
+        kw = gen_kwargs.get(g, {})
+        ev_r = r_patterns.generate(g, r_cfg, **kw)
+        ev_f = fw_pl.generate(g, f_cfg, **kw)
+        same = (len(ev_r) == len(ev_f)
+                and all(_ev_tuple(a) == _ev_tuple(b)
+                        for a, b in zip(ev_r, ev_f)))
+        rows.append(Row(f"patternlab events [{g}]",
+                        -200.0 if same else 0.0, -200.0,
+                        f"{len(ev_r)} events, exact"))
+
+    # --- e2e renders vs the literal reference renderer ---
+    def run_e2e(name, gen, cfg_over, bound, note="", kw=None):
+        ckw = dict(cfg_kw)
+        ckw.update(cfg_over)
+        rc = r_events.RenderConfig(**ckw)
+        fc = RenderConfig(**ckw)
+        ev_r = r_patterns.generate(gen, rc, **(kw or {}))
+        y_ref, _ = r_renderer.render(ev_r, rc)
+        y_fw, _ = fw_pl.render(_to_fw_events(ev_r), fc)
+        rows.append(_row(name, np.asarray(y_fw, np.float64),
+                         np.asarray(y_ref, np.float64), bound=bound,
+                         note=note + f" ({len(ev_r)} notes, "
+                              f"{ckw['seconds']:.0f} s)"))
+
+    run_e2e("patternlab e2e [Glass Cells + jitter/swing]", "Glass Cells",
+            dict(micro_jitter=0.004, swing=0.2), -60.0,
+            "apply_time_ops rng parity + FM bank")
+    run_e2e("patternlab e2e [Fibonacci Gate]", "Fibonacci Gate", {}, -60.0,
+            "FM + PSG noise LFSR")
+    run_e2e("patternlab e2e [Prime Phase]", "Prime Phase", {}, -60.0)
+    run_e2e("patternlab e2e [Pythagorean Canon]", "Pythagorean Canon",
+            {}, -60.0, "fractional midi")
+    if long_seconds > 0:
+        run_e2e(f"patternlab e2e [long {long_seconds:.0f}s stress]",
+                "Fibonacci Gate",
+                dict(seconds=float(long_seconds), micro_jitter=0.002),
+                -60.0, "error-accumulation regime vs the literal reference",
+                kw=dict(steps=int(long_seconds * 8)))
+    return rows
+
+
+# ----------------------------------------------------------------------------
 # Table / entry point
 # ----------------------------------------------------------------------------
 
@@ -823,6 +1378,8 @@ def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--section", default="all")
+    ap.add_argument("--long-seconds", type=float, default=0.0,
+                    help="add a long-render patternlab stress row")
     ap.add_argument("--tpu", action="store_true",
                     help="run on the default (TPU) device; default forces "
                          "CPU — the axon plugin overrides JAX_PLATFORMS, so "
@@ -839,6 +1396,16 @@ def main():
     if args.section in ("all", "microsound"):
         failures += print_rows(crossval_microsound_e2e(),
                                "Microsound e2e vs literal reference")
+    if args.section in ("all", "tape"):
+        failures += print_rows(crossval_tape(),
+                               "TapeTUC vs literal reference")
+    if args.section in ("all", "scrub"):
+        failures += print_rows(crossval_scrub(),
+                               "Scrubber vs literal reference")
+    if args.section in ("all", "patternlab"):
+        failures += print_rows(
+            crossval_patternlab(long_seconds=args.long_seconds),
+            "Pattern Lab vs literal reference")
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
