@@ -268,6 +268,13 @@ def pallas_read_lerp(ext2d, p, fr, span_blocks: int, cb: int = 32,
     CB = cb
     C = -(-K // CB)
     WB, SPAN = plan_dims(span_blocks, cb, align8)
+    if R < SPAN:
+        # jnp.clip(..., 0, R - SPAN) would return a NEGATIVE row and the
+        # slab DMA would read out of bounds; callers must fall back to the
+        # gather path for audio shorter than one slab
+        raise ValueError(
+            f"extended audio has {R} rows but the slab span is {SPAN}; "
+            "use the gather path for audio this short")
     if K % CB:
         padK = C * CB - K
         p = jnp.concatenate([p, jnp.broadcast_to(p[-1:], (padK * LANE,))])

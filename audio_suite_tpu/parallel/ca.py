@@ -50,9 +50,11 @@ class ShardSpatial(ff.DenseSpatial):
         return jax.lax.axis_index(self.axis).astype(jnp.int32) * self.Hl
 
     def cells(self, H: int, W: int):
-        local = jnp.arange(self.Hl * W, dtype=jnp.int32) \
+        # uint32 throughout: an int32 intermediate would overflow (and fork
+        # the per-cell RNG streams off the dense engine) once H*W >= 2^31
+        local = jnp.arange(self.Hl * W, dtype=jnp.uint32) \
             .reshape(self.Hl, W)
-        return (local + self._row0() * W).astype(jnp.uint32)
+        return local + self._row0().astype(jnp.uint32) * jnp.uint32(W)
 
     def rows(self, H: int):
         return self._row0() + jnp.arange(self.Hl, dtype=jnp.int32)[:, None]

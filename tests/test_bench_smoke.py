@@ -12,15 +12,17 @@ import sys
 import numpy as np
 
 
-def test_bench_harness_smoke(capsys):
-    os.environ["BENCH_SMOKE"] = "1"
+def test_bench_harness_smoke(capsys, monkeypatch):
+    monkeypatch.setenv("BENCH_SMOKE", "1")
     try:
         import bench
         bench = importlib.reload(bench)   # re-read _SMOKE under the env
         assert bench._SMOKE
         bench.main()
     finally:
-        os.environ.pop("BENCH_SMOKE", None)
+        # drop the smoke-mode module so any later import re-evaluates
+        # _SMOKE (and the CI-scale configs) under the restored env
+        sys.modules.pop("bench", None)
 
     line = capsys.readouterr().out.strip().splitlines()[-1]
     rep = json.loads(line)

@@ -176,7 +176,8 @@ def load_ref_grid() -> tuple:
     """Returns (namespace, RefGrid) where RefGrid carries the MainWindow
     render methods rebound onto a plain object (tracks/master/sr attrs)."""
     path = os.path.join(REF, "grid_audio_app_0.2", "grid_audio_app.py")
-    ns = _exec_slice(path)
+    ns = _exec_slice(path, keep_classes=("CellSource", "Track",
+                                         "MasterClock", "LoadedModule"))
     with open(path) as f:
         tree = ast.parse(f.read())
     methods = []
@@ -1360,6 +1361,652 @@ def crossval_patternlab(long_seconds: float = 0.0) -> list[Row]:
 
 
 # ----------------------------------------------------------------------------
+# Grid Audio vs the literal reference (grid_audio_app.py)
+# ----------------------------------------------------------------------------
+
+_GRID_CLICK = """\
+import numpy as np
+def generate(sr, dur):
+    n = int(round(dur * sr))
+    x = np.zeros(n, dtype=np.float32)
+    k = max(1, n // 4)
+    x[::k] = 0.8
+    x[1::k] = -0.5
+    return x
+"""
+
+_GRID_MELODIC = """\
+import numpy as np
+def generate(sr, dur, context):
+    n = int(round(dur * sr))
+    t = np.arange(n, dtype=np.float32) / np.float32(sr)
+    f = np.float32(220.0 * (1.0 + context["cell_index"]
+                            / max(1, context["cells_total"])))
+    return (0.35 * np.sin(2.0 * np.pi * f * t)).astype(np.float32)
+"""
+
+_GRID_EV_ALL_EXCEPT = """\
+import numpy as np
+def generate(sr, dur):
+    n = int(round(dur * sr))
+    x = np.zeros(n, dtype=np.float32)
+    x[:32] = 0.7
+    return x
+def event(context):
+    if context["cell_index"] == 0 and context["master_time"] > 0.5:
+        return {"restart_tracks": "all_except_self", "delay": 0.01}
+    return {}
+"""
+
+_GRID_EV_NAMES = """\
+import numpy as np
+def generate(sr, dur):
+    n = int(round(dur * sr))
+    x = np.zeros(n, dtype=np.float32)
+    x[:16] = -0.6
+    return x
+def event(context):
+    return {"restart_tracks": ["Pulse", 2], "delay": 0.0}
+"""
+
+_GRID_DIV_CODE = "def divisions(total):\n    return [3, 1, 2, 2, 1, 3]\n"
+
+
+def _grid_scripts(tmpdir: str) -> dict:
+    paths = {}
+    for name, src in (("click", _GRID_CLICK), ("melodic", _GRID_MELODIC),
+                      ("ev_all", _GRID_EV_ALL_EXCEPT),
+                      ("ev_names", _GRID_EV_NAMES)):
+        p = os.path.join(tmpdir, f"xval_{name}.py")
+        with open(p, "w") as f:
+            f.write(src)
+        paths[name] = p
+    return paths
+
+
+def _grid_tracks(track_cls, cell_cls, sc: dict, wav_path: str) -> list:
+    """The same 3-track project built on either side's dataclasses:
+    loop_to_master + uniform divisions, python divisions + wav resample,
+    mod-source speed + sync points + cross-track restarts."""
+    t0 = track_cls(name="Pulse", mode="tempo_bpm", bpm=120.0,
+                   beats_per_measure=4, measures=1, uniform_n=8,
+                   loop_to_master=True)
+    t0.cells = [cell_cls(kind="py", path=sc["click"]) if i % 2 == 0
+                else cell_cls(kind="empty", path="") for i in range(8)]
+    t1 = track_cls(name="Wav", mode="duration", duration_seconds=2.5,
+                   division_mode="python", python_code=_GRID_DIV_CODE,
+                   start_offset_seconds=0.35, gain_db=-2.5)
+    t1.cells = [cell_cls(kind="wav", path=wav_path),
+                cell_cls(kind="py", path=sc["ev_names"]),
+                cell_cls(kind="empty", path=""),
+                cell_cls(kind="py", path=sc["melodic"]),
+                cell_cls(kind="empty", path=""),
+                cell_cls(kind="empty", path="")]
+    t2 = track_cls(name="Mod", mode="duration", duration_seconds=3.0,
+                   uniform_n=6, loop_to_master=True,
+                   sync_points_text="1.0, 2.2",
+                   mod_source_index=0, mod_amount=1.5,
+                   mod_smoothing_ms=80.0)
+    t2.cells = [cell_cls(kind="py", path=sc["ev_all"])] \
+        + [cell_cls(kind="py", path=sc["melodic"]) for _ in range(5)]
+    return [t0, t1, t2]
+
+
+def crossval_grid() -> list[Row]:
+    import tempfile
+
+    from audio_suite_tpu.models import grid as fw_grid
+    from audio_suite_tpu.utils import io as fw_io
+
+    rows: list[Row] = []
+    ns, RefGrid = load_ref_grid()
+    rng = np.random.default_rng(7)
+
+    # --- helper kernels (grid_audio_app.py:26-151) ---
+    x = (rng.standard_normal(44100) * 0.3).astype(np.float32)
+    rows.append(_row("grid _resample_linear",
+                     fw_io.resample_linear(x, 44100, 48000),
+                     ns["_resample_linear"](x, 44100, 48000), bound=-100.0))
+    rows.append(_row("grid _fit_to_duration (pad + trunc)",
+                     np.concatenate([fw_io.fit_to_duration(x, 44100, 1.25),
+                                     fw_io.fit_to_duration(x, 44100, 0.4)]),
+                     np.concatenate([ns["_fit_to_duration"](x, 44100, 1.25),
+                                     ns["_fit_to_duration"](x, 44100, 0.4)]),
+                     bound=-200.0, note="exact"))
+    rows.append(_row("grid _normalize_peak",
+                     fw_io.normalize_peak(x * 3.0),
+                     ns["_normalize_peak"](x * 3.0), bound=-120.0))
+    win = int(round(80.0 * 0.001 * 44100))
+    rows.append(_row("grid moving_average convention (cumsum vs convolve)",
+                     fw_grid.moving_average(x * x, win),
+                     ns["moving_average"](x * x, win), bound=-80.0,
+                     note="f64 prefix sums vs the reference's f32 "
+                          "np.convolve; documented framework semantics"))
+    rows.append(_row("grid rms_envelope convention",
+                     fw_grid.rms_envelope(x, win),
+                     ns["rms_envelope"](x, win), bound=-80.0))
+    pl_ok = (fw_grid.parse_float_list(" 2.5;1.0, nope, 0.5 ,")
+             == ns["parse_float_list"](" 2.5;1.0, nope, 0.5 ,"))
+    rows.append(Row("grid parse_float_list", -200.0 if pl_ok else 0.0,
+                    -200.0, "exact list equality"))
+
+    with tempfile.TemporaryDirectory() as td:
+        sc = _grid_scripts(td)
+        wav_path = os.path.join(td, "xval_tone.wav")
+        t = np.arange(int(0.7 * 32000), dtype=np.float32) / 32000.0
+        fw_io.write_wav(wav_path, (0.5 * np.sin(2 * np.pi * 330.0 * t))
+                        .astype(np.float32), 32000)
+        # the reference reads WAVs through soundfile (grid_audio_app.py:65);
+        # shim sf.read with the framework codec so both sides decode the
+        # same PCM16 samples — an I/O shim, not a semantics change
+        ns["sf"] = types.SimpleNamespace(
+            read=lambda path, always_2d=False: fw_io.read_wav(
+                path, always_2d=always_2d))
+
+        ref_tracks = _grid_tracks(ns["Track"], ns["CellSource"], sc, wav_path)
+        rg = RefGrid()
+        rg.tracks = ref_tracks
+        rg.master = ns["MasterClock"](mode="fixed_seconds", fixed_seconds=6.0)
+        rg.sr = 44100
+
+        fw_tracks = _grid_tracks(fw_grid.Track, fw_grid.CellSource, sc,
+                                 wav_path)
+        proj = fw_grid.GridProject(
+            tracks=fw_tracks,
+            master=fw_grid.MasterClock(mode="fixed_seconds",
+                                       fixed_seconds=6.0),
+            sample_rate=44100)
+
+        # --- division normalization (python mode, sandboxed exec) ---
+        div_ok = (fw_tracks[1].build_divisions()
+                  == ref_tracks[1].build_divisions())
+        rows.append(Row("grid python divisions (exec + normalize)",
+                        -200.0 if div_ok else 0.0, -200.0,
+                        "exact list equality"))
+
+        # --- restart-event resolution (grid_audio_app.py:601-706) ---
+        master_dur = rg.master.duration(rg.tracks)
+        ref_restarts = rg._collect_restart_events(master_dur)
+        fw_restarts = fw_grid.collect_restart_events(proj, master_dur)
+        rs_ok = [sorted(a) == sorted(b)
+                 for a, b in zip(fw_restarts, ref_restarts)]
+        n_ev = sum(len(s) for s in ref_restarts)
+        rows.append(Row("grid restart-event sets (all_except_self + names)",
+                        -200.0 if all(rs_ok) else 0.0, -200.0,
+                        f"{n_ev} restart samples across 3 tracks; exact"))
+
+        # --- mod-speed convention: the framework computes per-sample speed
+        # with the envdet fixed-point chain (2**-22 speed grid, q12 amount)
+        # so the device int32 positions are bit-identical to the host; the
+        # reference uses f32 rms/clip directly ---
+        y_fw_host, placed = fw_grid.render_mixdown(proj, engine="host",
+                                                   return_tracks=True)
+        src = np.asarray(placed[0], np.float32)
+        win = int(round(80.0 * 0.001 * 44100))
+        env = ns["rms_envelope"](src, max(1, win))
+        env = (env / float(np.max(env))).astype(np.float32)
+        sp_ref = np.clip(1.0 + 1.5 * env, 0.25, 4.0).astype(np.float32)
+        sp_fw = fw_grid.mod_speed_for_track(src, 80.0, 1.5, 44100)
+        rows.append(_row("grid mod-speed convention (envdet 2^-22 chain)",
+                         sp_fw, sp_ref, bound=-80.0,
+                         note="per-sample speed control signal"))
+
+        # --- placement accumulator: the literal reference per-sample loop
+        # (grid_audio_app.py:786-814) consuming the FRAMEWORK's speed
+        # array, vs the framework's segmented-cumsum placement ---
+        n_total = int(round(master_dur * 44100))
+        reset2 = set(int(round(p * 44100))
+                     for p in ns["parse_float_list"](
+                         ref_tracks[2].sync_points_text) if p >= 0.0)
+        reset2 |= ref_restarts[2]
+        divs2 = ref_tracks[2].build_divisions()
+        pat2 = rg._render_track_pattern(
+            2, ref_tracks[2], divs2, float(sum(divs2)),
+            ns["parse_float_list"](ref_tracks[2].sync_points_text))
+        y_ref_place = np.zeros(n_total, np.float32)
+        rg._render_track_to_master(y_ref_place, pat2, len(pat2),
+                                   ref_tracks[2].start_offset_seconds, True,
+                                   sp_fw, reset2)
+        rows.append(_row("grid placement loop (fw speed injected into ref)",
+                         np.asarray(placed[2], np.float64),
+                         y_ref_place.astype(np.float64), bound=-120.0,
+                         note="resets + loop + mod; reference per-sample "
+                              "f64 loop vs segmented cumsum"))
+
+        # --- e2e mixdown without modulation: everything except the speed
+        # convention (restarts, sync resets, loop, wav resample, division
+        # exec, gains, clip) ---
+        for tl in (ref_tracks, fw_tracks):
+            tl[2].mod_amount = 0.0
+        y_ref_nomod = rg.render_mixdown()
+        y_fw_nomod_h = fw_grid.render_mixdown(proj, engine="host")
+        y_fw_nomod_d = fw_grid.render_mixdown(proj, engine="device")
+        rows.append(_row("grid e2e mixdown (unmodulated, host twin)",
+                         y_fw_nomod_h, y_ref_nomod, bound=-120.0,
+                         note="restarts + sync resets + wav resample + "
+                              "gains + clip"))
+        rows.append(_row("grid e2e mixdown (unmodulated, device engine)",
+                         y_fw_nomod_d, y_ref_nomod, bound=-120.0))
+        for tl in (ref_tracks, fw_tracks):
+            tl[2].mod_amount = 1.5
+
+        # --- raw speed convention e2e: the ~1e-5 speed delta INTEGRATES
+        # into the read position, so the modulated track's audio is a
+        # time-shifted read (max drift below) — sample-wise dBFS saturates
+        # under a time shift and is reported in the note instead ---
+        y_ref_raw = rg.render_mixdown()
+        drift = float(np.max(np.abs(np.cumsum(
+            sp_fw.astype(np.float64) - sp_ref.astype(np.float64)))))
+        audio_dev = max_dev_dbfs(y_fw_host, y_ref_raw)
+        rows.append(Row(
+            "grid e2e raw speed convention (read-position drift)",
+            20.0 * np.log10(max(drift, 1e-10) / n_total), -80.0,
+            f"max read-position drift {drift:.2f} samples "
+            f"({drift / 44.1:.3f} ms) over {n_total} ({n_total / 44100:.0f} s "
+            f"render); sample-wise audio dev {audio_dev:.1f} dBFS "
+            "(time-shifted sine reads; documented in BASELINE.md)"))
+    return rows
+
+
+# ----------------------------------------------------------------------------
+# Forest Fire vs the literal reference (forest_fire_OSC_0.1)
+# ----------------------------------------------------------------------------
+
+class _FFReplay:
+    """np.random.Generator stand-in that serves the FRAMEWORK's
+    counter-noise realization to the reference model in the reference's
+    draw order (model.py:127-217).  Data-dependent draws (per-ember d /
+    jitter / landing-ignite, per-regrow fuel) are mapped cell-for-cell:
+    the shim predicts the reference's own masks with the reference's f64
+    formulas, reading the model's state at the same point in the step."""
+
+    def __init__(self, model_ref, p_fw, seed, ffm, fnoise, q12np):
+        self.m = model_ref
+        self.p = p_fw
+        self.seed = np.uint32(seed)
+        self.ffm, self.fnoise, self.q12np = ffm, fnoise, q12np
+        self.H, self.W = p_fw.h, p_fw.w
+        self.cells = np.arange(self.H * self.W,
+                               dtype=np.uint32).reshape(self.H, self.W)
+        self.qc = ffm.quantized_consts(p_fw)
+        self.collisions = 0
+
+    def begin_step(self, k: int):
+        self._k = k
+        self._grid_calls = 0
+        self._emit_field = None
+        self._emit_idx = None
+        self._d = self._jx = self._jy = None
+        self._grow: list = []
+
+    # -- framework draw sites ------------------------------------------------
+    def _base(self):
+        return np.uint32(self._k) * np.uint32(self.ffm._SITES)
+
+    def _u(self, site):
+        return self.fnoise.uniform_np(self.seed, self.cells,
+                                      self._base() + np.uint32(site))
+
+    def _nrm(self, site):
+        return self.fnoise.normal_np(
+            self.seed, self.cells,
+            self._base() + np.uint32(self.ffm._NRM_OFFSET)
+            + np.uint32(site))
+
+    # -- reference Generator API ----------------------------------------------
+    def random(self, size=None):
+        ffm = self.ffm
+        if size is None:   # rain scalar (model.py:127)
+            return float(self.fnoise.uniform_np(
+                self.seed, np.uint32(0),
+                self._base() + np.uint32(ffm._S_RAIN)))
+        if isinstance(size, tuple):   # grid fields, in step order
+            self._grid_calls += 1
+            c = self._grid_calls
+            if c == 1:
+                return self._u(ffm._S_SPREAD)
+            if c == 2:
+                return self._u(ffm._S_LIGHT)
+            if c == 3:
+                self._emit_field = self._u(ffm._S_EMIT)
+                return self._emit_field
+            if c == 4:
+                f = self._u(ffm._S_GROW_E)
+                self._queue_grow(f, empty=True)
+                return f
+            if c == 5:
+                f = self._u(ffm._S_GROW_A)
+                self._queue_grow(f, empty=False)
+                return f
+            raise AssertionError("unexpected grid draw")
+        # 1-D: per-ember landing-ignite draws (model.py:193) — serve the
+        # framework's draw AT THE LANDING CELL (destination-draw); embers
+        # sharing a landing share the draw on both sides by construction
+        n = int(size)
+        yy, xx = self._landings()
+        assert n == len(yy), (n, len(yy))
+        u_ig = self._u(self.ffm._S_IGNITE)
+        self.collisions += n - len(set(zip(yy.tolist(), xx.tolist())))
+        return u_ig[yy, xx]
+
+    def _emit_cells(self):
+        if self._emit_idx is None:
+            emit = ((self.m.state == 2)   # FIRE, post-burnout state
+                    & (self._emit_field < self.p.ember_rate))
+            self._emit_idx = np.argwhere(emit)
+        return self._emit_idx
+
+    def integers(self, lo, hi, size=None):
+        idx = self._emit_cells()
+        assert int(size) == idx.shape[0] and int(lo) == 3
+        df = (np.float32(3.0)
+              + np.floor(self._u(self.ffm._S_DIST)
+                         * np.float32(self.p.ember_max_dist + 1 - 3)))
+        self._d = df[idx[:, 0], idx[:, 1]].astype(np.int64)
+        return self._d
+
+    def normal(self, loc=0.0, scale=1.0, size=None):
+        idx = self._emit_cells()
+        sig = np.float32(self.qc["sig"])
+        jx_f = self.q12np(self._nrm(self.ffm._S_JX)) * sig
+        jy_f = self.q12np(self._nrm(self.ffm._S_JY)) * sig
+        self._jx = jx_f[idx[:, 0], idx[:, 1]].astype(np.float64)
+        self._jy = jy_f[idx[:, 0], idx[:, 1]].astype(np.float64)
+        return np.stack([self._jx, self._jy], axis=1)
+
+    def _landings(self):
+        idx = self._emit_cells()
+        wx, wy = self.m._wind_vec()
+        dx = (wx * self._d + self._jx).astype(np.int32)
+        dy = (wy * self._d + self._jy).astype(np.int32)
+        yy = (idx[:, 0] + dy) % self.H
+        xx = (idx[:, 1] + dx) % self.W
+        return yy, xx
+
+    def _queue_grow(self, field, empty: bool):
+        p, m, ffm = self.p, self.m, self.ffm
+        mask_state = (m.state == (0 if empty else 3))   # EMPTY / ASH
+        grow_mod = np.clip(0.6 + 0.8 * m.moisture, 0.0, 1.6)
+        rate = p.regrow_rate if empty else p.ash_regrow_rate
+        mask = mask_state & (field < rate * grow_mod)
+        idx = np.argwhere(mask)
+        if idx.shape[0] == 0:
+            return   # the reference skips the uniform call (model.py:210)
+        site = ffm._S_FUEL_E if empty else ffm._S_FUEL_A
+        base_v = np.float32(0.5 if empty else 0.55)
+        cf = np.float32(self.qc["c03"] if empty else self.qc["c035n"])
+        vals = (base_v + cf * self.q12np(self._u(site)))
+        self._grow.append(vals[idx[:, 0], idx[:, 1]])
+
+    def uniform(self, lo, hi, size=None):
+        vals = self._grow.pop(0)
+        assert int(size) == len(vals)
+        return vals
+
+
+def crossval_forestfire() -> list[Row]:
+    import audio_suite_tpu.models.forestfire as ffm
+    from audio_suite_tpu.events import rules as fw_rules
+    from audio_suite_tpu.ops import noise as fnoise
+    from audio_suite_tpu.ops.fixq import round_sig12_np as q12np
+
+    ref_model, ref_watchers = load_ref_forestfire()
+    rows: list[Row] = []
+
+    kw_small = dict(w=64, h=48)
+
+    # --- init parity: same np.random.default_rng stream (model.py:74-96) ---
+    m_ref = ref_model.ForestFireModel(ref_model.ModelParams(**kw_small),
+                                      seed=5)
+    m_fw = ffm.ForestFireModel(ffm.ModelParams(**kw_small), seed=5)
+    s = m_fw._np
+    init_ok = (np.array_equal(s["state"], m_ref.state)
+               and np.array_equal(s["fuel"], m_ref.fuel)
+               and np.array_equal(s["moisture"], m_ref.moisture))
+    elev_dev = max_dev_dbfs(np.asarray(s["elev"], np.float64),
+                            np.asarray(m_ref.elev, np.float64))
+    rows.append(Row("ff init reset() state/fuel/moisture",
+                    -200.0 if init_ok else 0.0, -200.0,
+                    "bit-exact (same default_rng stream, model.py:74-96)"))
+    rows.append(Row("ff init elev q12 convention", elev_dev, -72.0,
+                    "framework rounds elev to 12-bit significands so "
+                    "terrain products are exact (forestfire.py:132-134)"))
+
+    # --- interactive brush edits (model.py:224-258) ---
+    for m in (m_ref, m_fw):
+        m.ignite_at(20, 12, radius=3)
+        m.set_tree_at(40, 30, radius=2)
+        m.clear_at(8, 40, radius=2)
+    s = m_fw._np
+    brush_ok = (np.array_equal(s["state"], m_ref.state)
+                and np.array_equal(s["fuel"], m_ref.fuel))
+    rows.append(Row("ff brush edits (ignite/set_tree/clear)",
+                    -200.0 if brush_ok else 0.0, -200.0, "exact"))
+
+    # --- render_rgb on identical state (model.py:273-309) ---
+    rgb_dev = max_dev_dbfs(
+        np.asarray(m_fw.render_rgb(), np.float64) / 255.0,
+        np.asarray(m_ref.render_rgb(), np.float64) / 255.0)
+    rows.append(Row("ff render_rgb (identical state)", rgb_dev, -47.0,
+                    "f32 vs f64 color math may flip a uint8 count "
+                    "(1/255 = -48.1 dBFS)"))
+
+    # --- per-step shadow trajectories with the replay shim -------------------
+    # Design: each step, the reference model is RESYNCED to the framework's
+    # pre-step state (bit-identical fields incl. the q12 elev), then both
+    # sides step on IDENTICAL random draws.  Any post-step state flip is
+    # therefore caused purely by the framework's documented arithmetic
+    # conventions (12-bit-significand constants/fields so TPU f32 products
+    # are exact).  Each flip must be *explained*: its governing uniform draw
+    # has to sit inside the tiny interval between the two conventions'
+    # thresholds at that cell (spread/lightning/regrow/ember-ignite), or be
+    # on an ember path (landing shifts / shared-landing draws,
+    # forestfire.py:324-333).  This quantifies the convention instead of
+    # demanding an impossible bit-exact free trajectory.
+    def _conv_thresholds(p, qc, elev, state0, fuel0, moist0, rain_flag):
+        """Both conventions' threshold fields, following step order
+        (model.py:127-213 vs forestfire.py:276-373)."""
+        f32 = np.float32
+        gy, gx = np.gradient(elev)
+        # reference convention (f32 arrays, f64 scalars)
+        ang = np.deg2rad(p.wind_dir_deg)
+        wx_r, wy_r = float(np.cos(ang)), float(np.sin(ang))
+        m = moist0
+        if rain_flag:
+            m = np.clip(m + f32(p.rain_strength), 0.0, 1.0)
+        base_r = np.clip(0.45 - 0.20 * elev, 0.05, 0.7).astype(f32)
+        m_r_ = np.clip(m + f32(p.moisture_relax) * (base_r - m), 0.0, 1.0)
+        burning = state0 == 2
+        f_r_ = np.where(burning,
+                        np.clip(fuel0 - f32(p.fuel_burn_rate), 0.0, 1.0),
+                        fuel0)
+        dot_r = gx * wx_r + gy * wy_r
+        slope_r = 1.0 + p.slope_strength * np.clip(-dot_r, 0.0, 1.0)
+        wind_r = 1.0 + p.wind_strength * np.clip(dot_r + 0.5, 0.0, 1.0) * 0.6
+        mt_r = 1.0 - np.clip(m_r_, 0.0, 1.0)
+        ref = {
+            "spread": np.clip(p.base_spread * mt_r
+                              * (0.35 + 0.65 * np.clip(f_r_, 0.0, 1.0))
+                              * slope_r * wind_r, 0.0, 0.99),
+            "light": p.lightning_rate * mt_r,
+            "ignite": np.clip(p.spotting_strength * (1.0 - m_r_)
+                              * (0.25 + 0.75 * f_r_), 0.0, 0.95),
+            "grow_e": p.regrow_rate * np.clip(0.6 + 0.8 * m_r_, 0.0, 1.6),
+            "grow_a": p.ash_regrow_rate
+            * np.clip(0.6 + 0.8 * m_r_, 0.0, 1.6),
+        }
+        # framework convention (forestfire.py terrain_static + step_device)
+        q = q12np
+        base_f = np.clip(f32(0.45) - f32(qc["c020"]) * elev, 0.05, 0.7)
+        m_f_ = m + f32(qc["relax"]) * q(base_f - m)
+        m_f_ = np.clip(m_f_, 0.0, 1.0)
+        dot_f = q(gx.astype(f32)) * f32(qc["wx"]) \
+            + q(gy.astype(f32)) * f32(qc["wy"])
+        slope_f = f32(1.0) + f32(qc["slope"]) * q(np.clip(-dot_f, 0.0, 1.0))
+        wind_f = f32(1.0) + q(f32(qc["wind"])
+                              * np.clip(dot_f + f32(0.5), 0.0, 1.0)) \
+            * f32(qc["c06"])
+        mt_f = f32(1.0) - np.clip(m_f_, 0.0, 1.0)
+        gm_f = np.clip(f32(0.6) + f32(qc["c08"]) * q(m_f_), 0.0, 1.6)
+        fw = {
+            "spread": np.clip(f32(p.base_spread) * mt_f
+                              * (f32(0.35) + f32(qc["c065"])
+                                 * q(np.clip(f_r_, 0.0, 1.0)))
+                              * slope_f * wind_f, 0.0, 0.99),
+            "light": f32(p.lightning_rate) * mt_f,
+            "ignite": np.clip(f32(p.spotting_strength) * (f32(1.0) - m_f_)
+                              * (f32(0.25) + f32(qc["c075"]) * q(f_r_)),
+                              0.0, 0.95),
+            "grow_e": f32(p.regrow_rate) * gm_f,
+            "grow_a": f32(p.ash_regrow_rate) * gm_f,
+        }
+        return ref, fw, (m_r_, m_f_, f_r_)
+
+    def traj(name, params_kw, seed, K, flip_budget, field_bound, note):
+        p_fw = ffm.ModelParams(**params_kw)
+        qc = ffm.quantized_consts(p_fw)
+        m_r = ref_model.ForestFireModel(ref_model.ModelParams(**params_kw),
+                                        seed=seed)
+        m_f = ffm.ForestFireModel(p_fw, seed=seed)
+        for m in (m_r, m_f):
+            m.ignite_at(params_kw["w"] // 2, params_kw["h"] // 2, radius=3)
+        shim = _FFReplay(m_r, p_fw, seed, ffm, fnoise, q12np)
+        m_r.rng = shim
+        sites = ("spread", "light", "ignite", "grow_e", "grow_a")
+        site_ids = {"spread": ffm._S_SPREAD, "light": ffm._S_LIGHT,
+                    "ignite": ffm._S_IGNITE, "grow_e": ffm._S_GROW_E,
+                    "grow_a": ffm._S_GROW_A}
+        flips = explained = ember_flips = 0
+        stats_exact = 0
+        moist_dev = fuel_dev = 0.0
+        gap_max = 0.0
+        for k in range(K):
+            # resync: reference <- framework pre-step state, bit-identical
+            s0 = m_f._np
+            m_r.state = np.asarray(s0["state"], np.int8).copy()
+            m_r.fuel = np.asarray(s0["fuel"], np.float32).copy()
+            m_r.moisture = np.asarray(s0["moisture"], np.float32).copy()
+            m_r.age = np.asarray(s0["age"], np.uint16).copy()
+            m_r.elev = np.asarray(s0["elev"], np.float32).copy()
+            state0 = m_r.state.copy()
+            fuel0 = m_r.fuel.copy()
+            moist0 = m_r.moisture.copy()
+            shim.begin_step(k)
+            rain_u = float(fnoise.uniform_np(
+                np.uint32(seed), np.uint32(0),
+                np.uint32(k) * np.uint32(ffm._SITES)
+                + np.uint32(ffm._S_RAIN)))
+            m_r.step()
+            m_f.step()
+            s1 = m_f._np
+            if m_f.get_stats() == m_r.get_stats():
+                stats_exact += 1
+            diff = np.asarray(s1["state"]) != m_r.state
+            nd = int(diff.sum())
+            moist_dev = max(moist_dev, float(np.abs(
+                np.asarray(s1["moisture"], np.float64)
+                - m_r.moisture).max()))
+            same = ~diff
+            fuel_dev = max(fuel_dev, float(np.abs(
+                np.asarray(s1["fuel"], np.float64)[same]
+                - np.asarray(m_r.fuel, np.float64)[same]).max()))
+            if nd == 0:
+                continue
+            flips += nd
+            t_ref, t_fw, _ = _conv_thresholds(
+                p_fw, qc, m_r.elev, state0, fuel0, moist0,
+                rain_u < p_fw.rain_chance)
+            draws = {s_: shim._u(site_ids[s_]) for s_ in sites}
+            for s_ in sites:
+                gap_max = max(gap_max, float(
+                    np.abs(t_ref[s_] - t_fw[s_]).max()))
+            for y, x in np.argwhere(diff):
+                hit = False
+                for s_ in sites:
+                    lo = min(t_ref[s_][y, x], t_fw[s_][y, x]) - 1e-7
+                    hi = max(t_ref[s_][y, x], t_fw[s_][y, x]) + 1e-7
+                    if lo <= draws[s_][y, x] <= hi:
+                        hit = True
+                        break
+                if hit:
+                    explained += 1
+                elif 2 in (int(s1["state"][y, x]), int(m_r.state[y, x])):
+                    # FIRE on exactly one side, no marginal local draw:
+                    # ember landing shifted by the q12 wind vector, or a
+                    # shared-landing draw (forestfire.py:324-333)
+                    ember_flips += 1
+        cells = K * p_fw.h * p_fw.w
+        unexplained = flips - explained - ember_flips
+        field_db = 20.0 * np.log10(max(moist_dev, fuel_dev, 1e-12))
+        ok = (flips <= flip_budget and unexplained == 0
+              and field_db <= field_bound)
+        rows.append(Row(
+            name, field_db if ok else 0.0, field_bound,
+            f"{flips} state flips / {cells} cell-steps "
+            f"({explained} threshold-marginal, {ember_flips} ember-path, "
+            f"{unexplained} unexplained; budget {flip_budget}); "
+            f"max threshold gap {gap_max:.2e}; {stats_exact}/{K} "
+            f"stats-exact; moisture/fuel per-step dev {field_db:.1f} dBFS; "
+            f"{shim.collisions} landing collisions; {note}"))
+
+    # (a) neutral terrain/wind: only the q12 rate constants differ
+    traj("ff shadow-step [no wind/slope, 60 steps, injected draws]",
+         dict(**kw_small, wind_strength=0.0, slope_strength=0.0,
+              wind_dir_deg=0.0),
+         seed=5, K=60, flip_budget=12, field_bound=-100.0,
+         note="q12 rate constants only")
+    # (b) wind+slope active, dir=0 keeps the wind vector exact (cos 0 = 1)
+    traj("ff shadow-step [wind 0.75 + slope 0.35 @ 0 deg, 40 steps]",
+         dict(**kw_small, wind_dir_deg=0.0),
+         seed=5, K=40, flip_budget=12, field_bound=-100.0,
+         note="q12 slope/wind boosts in spread_p")
+    # (c) full defaults, 25 deg wind: q12(cos/sin) can shift ember landings
+    traj("ff shadow-step [full defaults @ 25 deg wind, 30 steps]",
+         dict(**kw_small), seed=5, K=30, flip_budget=12, field_bound=-100.0,
+         note="q12 wind vector vs f64 cos/sin (documented)")
+
+    # --- threshold rule engine vs watchers.py (injected clock) ---
+    class _Clock:
+        t = 0.0
+
+        def perf_counter(self):
+            return self.t
+
+    clock = _Clock()
+    ref_watchers.time = clock
+    fw_eng = fw_rules.WatchEngine(now_fn=clock.perf_counter)
+    ref_eng = ref_watchers.WatchEngine()
+    rule_kw = [
+        dict(metric_key="burning", op=">", threshold=40.0, hysteresis=5.0,
+             edge="rising", cooldown_s=0.2, osc_address="/fire/burning_hi"),
+        dict(metric_key="ignitions", op=">", threshold=3.0, edge="both",
+             cooldown_s=0.0, osc_address="/fire/ignitions_spike",
+             send_state=False),
+        dict(metric_key="trees", op="band", threshold=800.0,
+             threshold_hi=2000.0, hysteresis=20.0, edge="level",
+             cooldown_s=0.5, osc_address="/fire/trees_band",
+             send_value=False),
+        dict(metric_key="rain", op=">", threshold=0.5, edge="falling",
+             cooldown_s=0.0, osc_address="/fire/rain_end"),
+    ]
+    fw_eng.set_rules([fw_rules.ThresholdRule(**k) for k in rule_kw])
+    ref_eng.set_rules([ref_watchers.ThresholdRule(**k) for k in rule_kw])
+    stats_stream = ffm.stats_rows_to_dicts(m_fw.simulate(240))
+    sent_fw, sent_ref = [], []
+    leds_ok = True
+    for row_ in stats_stream:
+        clock.t += 1.0 / 30.0
+        led_f = fw_eng.update(row_, lambda a, *p: sent_fw.append((a, p)))
+        led_r = ref_eng.update(row_, lambda a, *p: sent_ref.append((a, p)))
+        leds_ok = leds_ok and (led_f == led_r)
+    ok = sent_fw == sent_ref and leds_ok and len(sent_fw) > 0
+    rows.append(Row("ff WatchEngine rules -> OSC stream (240 steps)",
+                    -200.0 if ok else 0.0, -200.0,
+                    f"{len(sent_ref)} sends, LED states + payloads exact"))
+    return rows
+
+
+# ----------------------------------------------------------------------------
 # Table / entry point
 # ----------------------------------------------------------------------------
 
@@ -1406,6 +2053,12 @@ def main():
         failures += print_rows(
             crossval_patternlab(long_seconds=args.long_seconds),
             "Pattern Lab vs literal reference")
+    if args.section in ("all", "grid"):
+        failures += print_rows(crossval_grid(),
+                               "Grid Audio vs literal reference")
+    if args.section in ("all", "forestfire"):
+        failures += print_rows(crossval_forestfire(),
+                               "Forest Fire vs literal reference")
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
