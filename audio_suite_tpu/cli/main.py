@@ -99,7 +99,14 @@ def cmd_tape(args):
         params.section_speeds = tape.fit_to_target_time(
             params, len(audio), args.target_time)
     t0 = time.perf_counter()
-    out = tape.render_tape(audio, params, interp=args.interp)
+    if args.automation:
+        trace = tape.TapeTrace.load(args.automation)
+        nf = (int(args.duration * sr) if args.duration
+              else tape.section_render_length(params, len(audio)))
+        out = tape.render_tape_trace(audio, params, trace, num_frames=nf,
+                                     interp=args.interp)
+    else:
+        out = tape.render_tape(audio, params, interp=args.interp)
     meta = render_meta(out, sr, time.perf_counter() - t0)
     audio_io.write_wav(args.out, out, sr, subtype="PCM_16")
     print(f"{args.out}: {meta['seconds']:.2f}s @ {sr} Hz, "
@@ -273,6 +280,12 @@ def build_parser():
                    help="duration-preserving retime target (s)")
     t.add_argument("--detect-beats", action="store_true")
     t.add_argument("--beat-sensitivity", type=int, default=50)
+    t.add_argument("--automation",
+                   help="TapeTrace JSON: timed param mutations rendered as "
+                        "a reproducible performance (the offline form of "
+                        "the reference's live GUI mutations)")
+    t.add_argument("--duration", type=float,
+                   help="performance length in seconds (with --automation)")
     t.set_defaults(fn=cmd_tape)
 
     s = sub.add_parser("scrub", help="gestural tape scrub render")

@@ -134,7 +134,8 @@ def section_render_length(params: TapeParams, num_samples: int) -> int:
 
 
 def wow_flutter_mod(num_frames: int, sample_rate: int, tape_age: int,
-                    wow_phase0: float = 0.0, flutter_phase0: float = 0.0):
+                    wow_phase0: float = 0.0, flutter_phase0: float = 0.0,
+                    phase0_cycles=None):
     """Precomputed, quantized per-sample speed modulation.
 
     mod = clip(1 + wow_depth sin(wow) + flutter_depth sin(flutter), 0.1, 3)
@@ -150,7 +151,8 @@ def wow_flutter_mod(num_frames: int, sample_rate: int, tape_age: int,
     from ..ops.fixq import round_sig12_np
 
     ints, flts, ph0 = wow_flutter_consts(sample_rate, tape_age,
-                                         wow_phase0, flutter_phase0)
+                                         wow_phase0, flutter_phase0,
+                                         phase0_cycles)
     i = np.arange(num_frames, dtype=np.uint32)
     sw = round_sig12_np(detmath.sin_cycles_np(
         ph0[0] + detmath.phase_cycles_np(i, ints[0], ints[1], flts[0])))
@@ -162,11 +164,16 @@ def wow_flutter_mod(num_frames: int, sample_rate: int, tape_age: int,
 
 
 def wow_flutter_consts(sample_rate: int, tape_age: int,
-                       wow_phase0: float = 0.0, flutter_phase0: float = 0.0):
+                       wow_phase0: float = 0.0, flutter_phase0: float = 0.0,
+                       phase0_cycles=None):
     """Shared constants for the host/device wow-flutter twins:
     (ints u32[4] = wow num/m, flutter num/m;
      flts f32[4] = wow inv_m, flutter inv_m, wow depth, flutter depth;
-     phase0 f32[2] in cycles)."""
+     phase0 f32[2] in cycles).
+
+    `phase0_cycles`, when given, overrides the radian phase args with exact
+    f32 cycle-domain values (the trace renderer's segment continuation:
+    see lfo_phase_cycles)."""
     from ..ops import detmath
     from ..ops.fixq import round_sig12_np
 
@@ -177,9 +184,29 @@ def wow_flutter_consts(sample_rate: int, tape_age: int,
     fn, fm, finv = detmath.phase_ratio(7, 1, sample_rate)   # 7 Hz
     ints = np.asarray([wn, wm, fn, fm], np.uint32)
     flts = np.asarray([winv, finv, wd, fd], np.float32)
-    ph0 = np.asarray([wow_phase0 / (2.0 * np.pi),
-                      flutter_phase0 / (2.0 * np.pi)], np.float32)
+    if phase0_cycles is not None:
+        ph0 = np.asarray(phase0_cycles, np.float32)
+    else:
+        ph0 = np.asarray([wow_phase0 / (2.0 * np.pi),
+                          flutter_phase0 / (2.0 * np.pi)], np.float32)
     return ints, flts, ph0
+
+
+def lfo_phase_cycles(sample_rate: int, sample_offset: int):
+    """Cycle-domain f32 LFO phases at a global output-sample offset
+    (exact integer residue reduction — no f32 accumulation error at any
+    offset).  A trace segment starting at global sample t0 passes these as
+    phase0 so its locally-indexed wow/flutter curve continues the
+    performance's global phase; both the engine and the oracle use this
+    one convention, so their curves stay bit-identical."""
+    from ..ops import detmath
+
+    wn, wm, winv = detmath.phase_ratio(2, 5, sample_rate)
+    fn, fm, finv = detmath.phase_ratio(7, 1, sample_rate)
+    i = np.uint32(sample_offset % (2**32))
+    pw = detmath.phase_cycles_np(i, wn, wm, np.float32(winv))
+    pf = detmath.phase_cycles_np(i, fn, fm, np.float32(finv))
+    return (np.float32(pw), np.float32(pf))
 
 
 def splice_envelope(env_len: int = 256) -> np.ndarray:
@@ -264,6 +291,67 @@ def _pad_pow2(arr, fill, min_len=4):
     return out
 
 
+def _device_consts(consts: TapeConsts) -> TapeConsts:
+    """Normalize the TapeConsts fields the DEVICE kernel never reads
+    (inertia/alpha/initial speed live entirely in the host table builder):
+    they would otherwise be jit static-arg cache keys, so every inertia
+    toggle / carried trace speed would mint a fresh XLA compilation."""
+    return dataclasses.replace(consts, inertia_on=False, alpha_q=1.0,
+                               initial_speed_q=1.0)
+
+
+def _pack_tables(tables: dict, T: int, n_audio: int, starts, ends,
+                 mod_flts, consts: TapeConsts, interp: str):
+    """Shape-bucket the control tables and decide blockwise-read
+    feasibility (shared by the single-program and trace renderers).
+    Returns (packed dict of padded arrays, t_pad, span_b, cap)."""
+    t_pad = -(-T // 32768) * 32768
+    packed = dict(
+        vs=_pad_pow2(tables["visit_start"], t_pad, min_len=64),
+        bw=_pad_pow2(tables["visit_bw"], 0, min_len=64),
+        bf=_pad_pow2(tables["visit_bf"], 0, min_len=64),
+        vsec=_pad_pow2(tables["visit_sec"], 0, min_len=64),
+        rs=_pad_pow2(tables["run_start"], t_pad, min_len=64),
+        s0=_pad_pow2(tables["run_s0"], 0, min_len=64),
+        rm=_pad_pow2(tables["run_m"], 0, min_len=64),
+    )
+
+    # blockwise-read feasibility (host decision, static): the span bound
+    # comes from the run speeds x the wow/flutter depth; the patch cap
+    # bounds visit starts + worst-case section-loop wraps
+    # (T*max_inc/min_sec_len).  Unbounded (pathological marker spacing)
+    # or tiny tapes fall back to the pair gather.
+    span_b, cap = 0, 0
+    if interp in ("linear", "sinc"):
+        s0v = np.asarray(tables["run_s0"], np.int64)
+        rmv = np.asarray(tables["run_m"], np.int64)
+        rsv = np.asarray(tables["run_start"], np.int64)
+        if s0v.size:
+            run_len = np.diff(np.append(rsv, T))
+            ends_spd = s0v + rmv * np.maximum(0, run_len)
+            max_spd = max(np.abs(s0v).max(), np.abs(ends_spd).max()) \
+                * float(fixq.POS_INV_F)
+        else:
+            max_spd = float(consts.initial_speed_q)
+        wd, fd = float(mod_flts[2]), float(mod_flts[3])
+        max_inc = max_spd * (1.0 + wd + fd) + 1e-6
+        span_samples = int(np.ceil(max_inc)) + 1
+        span_b = 1 << max(2, (max(1, span_samples) - 1).bit_length())
+        sec_len = np.maximum(1, np.asarray(ends, np.int64)
+                             - np.asarray(starts, np.int64))
+        wraps = int(T * max_inc / float(sec_len.min()))
+        bound = wraps + len(tables["visit_start"]) + 8
+        cap = 1 << max(6, (bound - 1).bit_length())
+        n_blocks = t_pad // 128
+        if (cap > 2048 or cap > n_blocks // 2
+                or n_audio <= 2 * span_b * 128 + 256):
+            # patch set unbounded, would cover most blocks (top_k k must
+            # not exceed the block count), or the tape is too small for
+            # the window: the pair gather is the right engine
+            span_b, cap = 0, 0
+    return packed, t_pad, span_b, cap
+
+
 def tape_table_render(prog: dict, out_i16: bool = False,
                       device_out: bool = False, interp: str = "linear",
                       stereo: bool = False):
@@ -304,61 +392,21 @@ def tape_table_render(prog: dict, out_i16: bool = False,
     # to a power of two (min 64) so repeated renders — including renders of
     # TWEAKED programs whose visit/run/trigger counts wander a little —
     # reuse the compiled kernel instead of flipping shape buckets
-    t_pad = -(-T // 32768) * 32768
-    vs = _pad_pow2(tables["visit_start"], t_pad, min_len=64)
-    bw = _pad_pow2(tables["visit_bw"], 0, min_len=64)
-    bf = _pad_pow2(tables["visit_bf"], 0, min_len=64)
-    vsec = _pad_pow2(tables["visit_sec"], 0, min_len=64)
-    rs = _pad_pow2(tables["run_start"], t_pad, min_len=64)
-    s0 = _pad_pow2(tables["run_s0"], 0, min_len=64)
-    rm = _pad_pow2(tables["run_m"], 0, min_len=64)
+    ints, flts, ph0 = prog["mod_consts"]
+    pk, t_pad, span_b, cap = _pack_tables(
+        tables, T, int(prog["audio"].shape[0]), prog["starts"], prog["ends"],
+        flts, consts, interp)
     trig = (_pad_pow2(tables["triggers"], t_pad, min_len=64)
             if len(tables["triggers"]) else np.zeros(0, np.int32))
 
-    ints, flts, ph0 = prog["mod_consts"]
-
-    # blockwise-read feasibility (host decision, static): the span bound
-    # comes from the run speeds x the wow/flutter depth; the patch cap
-    # bounds visit starts + worst-case section-loop wraps
-    # (T*max_inc/min_sec_len).  Unbounded (pathological marker spacing)
-    # or tiny tapes fall back to the pair gather.
-    span_b, cap = 0, 0
-    if interp in ("linear", "sinc"):
-        s0v = np.asarray(tables["run_s0"], np.int64)
-        rmv = np.asarray(tables["run_m"], np.int64)
-        rsv = np.asarray(tables["run_start"], np.int64)
-        if s0v.size:
-            run_len = np.diff(np.append(rsv, T))
-            ends_spd = s0v + rmv * np.maximum(0, run_len)
-            max_spd = max(np.abs(s0v).max(), np.abs(ends_spd).max()) \
-                * float(fixq.POS_INV_F)
-        else:
-            max_spd = float(consts.initial_speed_q)
-        wd, fd = float(flts[2]), float(flts[3])
-        max_inc = max_spd * (1.0 + wd + fd) + 1e-6
-        span_samples = int(np.ceil(max_inc)) + 1
-        span_b = 1 << max(2, (max(1, span_samples) - 1).bit_length())
-        sec_len = np.maximum(1, np.asarray(prog["ends"], np.int64)
-                             - np.asarray(prog["starts"], np.int64))
-        wraps = int(T * max_inc / float(sec_len.min()))
-        bound = wraps + len(tables["visit_start"]) + 8
-        cap = 1 << max(6, (bound - 1).bit_length())
-        n_aud = int(prog["audio"].shape[0])
-        n_blocks = t_pad // 128
-        if (cap > 2048 or cap > n_blocks // 2
-                or n_aud <= 2 * span_b * 128 + 256):
-            # patch set unbounded, would cover most blocks (top_k k must
-            # not exceed the block count), or the tape is too small for
-            # the window: the pair gather is the right engine
-            span_b, cap = 0, 0
-
     out = varispeed.tape_device_render(
         prog["audio"], ints, flts, ph0,
-        vs, bw, bf, vsec, rs, s0, rm,
+        pk["vs"], pk["bw"], pk["bf"], pk["vsec"], pk["rs"], pk["s0"],
+        pk["rm"],
         prog["starts"], prog["ends"], prog["reverse"], prog["boundaries"],
         trig, prog["splice_env"],
-        consts, t_pad, out_i16, interp, False, n_valid=jnp.int32(T),
-        blockwise_span=span_b, patch_cap=cap)
+        _device_consts(consts), t_pad, out_i16, interp, False,
+        n_valid=jnp.int32(T), blockwise_span=span_b, patch_cap=cap)
     if stereo:
         # duplicate the MONO kernel's output in a separate tiny jit: a
         # stereo kernel variant is a second XLA compilation whose FMA
@@ -414,6 +462,347 @@ def render_tape(audio, params: TapeParams,
             prog["consts"],
         )
     return np.asarray(out)
+
+
+# ----------------------------------------------------------------------------
+# Performance automation: TapeTrace
+# ----------------------------------------------------------------------------
+#
+# TapeTUC is an instrument: the reference user mutates speeds/markers/toggles
+# DURING playback under the RLock (Tape…py:768-788) and the recording tap
+# captures that performance (Tape…py:902-909).  A TapeTrace is the offline,
+# reproducible form of such a performance: a schedule of timed parameter
+# mutations (exactly the set the GUI can make) rendered as segmented table
+# programs with position/speed/splice state carried across segments.
+#
+# Semantics note: the reference applies GUI mutations at audio-pull-block
+# granularity (whenever provide_samples next snapshots state); the trace
+# applies them at the exact event sample — documented, strictly more precise.
+
+#: ops a trace event may carry (mirroring the GUI actions under the RLock):
+#:   set_speed {section, value}        speed spinbox (Tape…py:545-549)
+#:   set_reverse {section, value}      reverse checkbox (Tape…py:551-556)
+#:   add_marker {sample}               marker add (Tape…py:558-583)
+#:   remove_marker {sample}            marker delete
+#:   set_markers {markers}             wholesale marker edit / beat slicing
+#:   set_age {value}                   tape-age slider 0-100
+#:   set_splice {value}                splice FX toggle
+#:   set_anticlick {value}             anti-click toggle
+#:   set_anticlick_amount {value}      anti-click amount 0-100
+#:   set_inertia {value}               inertia toggle
+#:   set_inertia_amount {value}        inertia amount 0-100
+#:   retime {target}                   Fit to Target Time (Tape…py:665-705)
+#:   seek {sample}                     position jump
+TRACE_OPS = frozenset({
+    "set_speed", "set_reverse", "add_marker", "remove_marker",
+    "set_markers", "set_age", "set_splice", "set_anticlick",
+    "set_anticlick_amount", "set_inertia", "set_inertia_amount",
+    "retime", "seek",
+})
+
+
+@dataclass
+class TapeTrace:
+    """A recorded performance: events = [{"t": seconds, "op": ..., ...}]."""
+    events: list = field(default_factory=list)
+
+    def add(self, t: float, op: str, **kw) -> "TapeTrace":
+        if op not in TRACE_OPS:
+            raise ValueError(f"unknown trace op {op!r}")
+        self.events.append({"t": float(t), "op": op, **kw})
+        return self
+
+    def to_json(self) -> str:
+        import json
+        return json.dumps({"events": self.events}, indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "TapeTrace":
+        import json
+        d = json.loads(text)
+        tr = TapeTrace()
+        for e in d.get("events", []):
+            kw = {k: v for k, v in e.items() if k not in ("t", "op")}
+            tr.add(e["t"], e["op"], **kw)
+        return tr
+
+    def save(self, path: str):
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @staticmethod
+    def load(path: str) -> "TapeTrace":
+        with open(path) as f:
+            return TapeTrace.from_json(f.read())
+
+
+def _rebuild_sections_preserving(p: TapeParams):
+    """Marker-edit section rebuild: speeds/reverse preserved by index, new
+    sections get 1.0/False (Tape…py:509-519 rebuild_table)."""
+    nsec = len(p.markers) + 1
+    p.section_speeds = [p.section_speeds[i] if i < len(p.section_speeds)
+                        else 1.0 for i in range(nsec)]
+    p.section_reverse = [p.section_reverse[i] if i < len(p.section_reverse)
+                         else False for i in range(nsec)]
+
+
+def apply_trace_op(params: TapeParams, ev: dict,
+                   num_samples: int) -> TapeParams:
+    """Apply one trace event to a parameter snapshot (pure: returns a new
+    TapeParams).  `seek` does not touch params — the renderer consumes it."""
+    p = TapeParams.from_snapshot(params.snapshot())
+    op = ev["op"]
+    if op == "set_speed":
+        i = int(ev["section"])
+        while len(p.section_speeds) <= i:
+            p.section_speeds.append(1.0)
+        p.section_speeds[i] = float(np.clip(ev["value"], 0.25, 4.0))
+    elif op == "set_reverse":
+        i = int(ev["section"])
+        while len(p.section_reverse) <= i:
+            p.section_reverse.append(False)
+        p.section_reverse[i] = bool(ev["value"])
+    elif op == "add_marker":
+        s = int(ev["sample"])
+        if 0 < s < num_samples and s not in p.markers:
+            p.markers = sorted(p.markers + [s])
+            _rebuild_sections_preserving(p)
+    elif op == "remove_marker":
+        s = int(ev["sample"])
+        if s in p.markers:
+            p.markers = [m for m in p.markers if m != s]
+            _rebuild_sections_preserving(p)
+    elif op == "set_markers":
+        p.markers = sorted(int(m) for m in ev["markers"]
+                           if 0 < int(m) < num_samples)
+        _rebuild_sections_preserving(p)
+    elif op == "set_age":
+        p.tape_age = int(np.clip(ev["value"], 0, 100))
+    elif op == "set_splice":
+        p.enable_splice_fx = bool(ev["value"])
+    elif op == "set_anticlick":
+        p.anticlick_enabled = bool(ev["value"])
+    elif op == "set_anticlick_amount":
+        p.anticlick_amount = int(np.clip(ev["value"], 0, 100))
+    elif op == "set_inertia":
+        p.inertia_enabled = bool(ev["value"])
+    elif op == "set_inertia_amount":
+        p.inertia_amount = int(np.clip(ev["value"], 0, 100))
+    elif op == "retime":
+        p.section_speeds = fit_to_target_time(p, num_samples,
+                                              float(ev["target"]))
+    elif op == "seek":
+        pass
+    else:
+        raise ValueError(f"unknown trace op {op!r}")
+    return p
+
+
+def build_trace_programs(audio, params: TapeParams, trace: TapeTrace,
+                         num_frames: Optional[int] = None) -> list[dict]:
+    """Split the output timeline at event times and build one table program
+    per segment, threading position/speed state through the host table
+    builder exactly as the realtime loop would (init_whole/init_frac +
+    initial_speed_q are the previous segment's final state).  Wow/flutter
+    phases continue via exact integer residues (lfo_phase_cycles), so a
+    segment's locally-indexed curve equals the global performance curve.
+
+    Each returned segment dict is a full build_tape_program-style program
+    (the NumPy oracle renders it directly) plus t0/t1, init state, the
+    prebuilt tables, and the raw boundary-hit list for the splice machine."""
+    if not isinstance(audio, jax.Array):
+        audio = np.asarray(audio, np.float32)
+    n = int(audio.shape[0])
+    if n < 2:
+        raise ValueError("tape render needs at least 2 samples of audio")
+    p = TapeParams.from_snapshot(params.snapshot())
+    sr = int(p.sample_rate)
+    if num_frames is None:
+        num_frames = section_render_length(p, n)
+    T = int(num_frames)
+
+    grouped: dict[int, list] = {}
+    for e in sorted(trace.events, key=lambda e: float(e["t"])):
+        ts = int(round(float(e["t"]) * sr))
+        if ts >= T:
+            continue
+        grouped.setdefault(max(0, ts), []).append(e)
+    edges = [0] + sorted(t for t in grouped if t > 0) + [T]
+
+    carry_w, carry_f = fixq.split_pos_np(float(p.play_pos) % n)
+    carry_speed = abs(float(p.current_speed))
+
+    segs = []
+    for t0, t1 in zip(edges[:-1], edges[1:]):
+        for e in grouped.get(t0, []):
+            if e["op"] == "seek":
+                carry_w, carry_f = fixq.split_pos_np(
+                    float(e["sample"]) % n)
+            else:
+                p = apply_trace_op(p, e, n)
+        Ts = t1 - t0
+
+        starts, ends = sections_from_markers(p.markers, n)
+        nsec = len(starts)
+        speeds = [abs(float(p.section_speeds[i]))
+                  if i < len(p.section_speeds) else 1.0
+                  for i in range(nsec)]
+        revs = [bool(p.section_reverse[i]) if i < len(p.section_reverse)
+                else False for i in range(nsec)]
+        speeds_q = fixq.quantize_f32_np(np.asarray(speeds, np.float32))
+
+        dt = 1.0 / float(sr)
+        if p.inertia_enabled and p.inertia_amount > 0:
+            tau = (20.0 + 480.0 * (p.inertia_amount / 100.0)) / 1000.0
+            alpha = min(1.0, dt / tau) if tau > 0 else 1.0
+        else:
+            alpha = 1.0
+        amt = max(0.0, min(1.0, p.anticlick_amount / 100.0))
+        consts = TapeConsts(
+            anticlick_on=bool(p.anticlick_enabled),
+            smooth_len=int(p.boundary_smooth_len),
+            anticlick_strength=float(np.float32(0.3 + 0.5 * amt)),
+            splice_on=bool(p.enable_splice_fx),
+            inertia_on=bool(p.inertia_enabled and p.inertia_amount > 0),
+            alpha_q=float(np.float32(alpha)),
+            initial_speed_q=float(fixq.quantize_f32_np(
+                np.float32(carry_speed))),
+        )
+
+        ph0c = lfo_phase_cycles(sr, t0)
+        mints, mflts, mph0 = wow_flutter_consts(sr, p.tape_age,
+                                                phase0_cycles=ph0c)
+        mod_q = wow_flutter_mod(Ts, sr, p.tape_age, phase0_cycles=ph0c)
+        boundaries = boundary_array(p.markers, n)
+
+        tables = varispeed.tape_tables(
+            n, mod_q, starts, ends, speeds_q, np.asarray(revs, np.bool_),
+            boundaries, p.splice_env_len, consts,
+            init_whole=int(carry_w), init_frac=int(carry_f))
+
+        segs.append({
+            "t0": t0, "t1": t1,
+            "audio": audio,
+            "mod_q": mod_q,
+            "mod_consts": (mints, mflts, mph0),
+            "starts": starts, "ends": ends,
+            "speeds_q": np.asarray(speeds_q, np.float32),
+            "reverse": np.asarray(revs, np.bool_),
+            "boundaries": boundaries,
+            "splice_env": splice_envelope(p.splice_env_len),
+            "consts": consts,
+            "num_frames": Ts,
+            "sample_rate": sr,
+            "tape_age": int(p.tape_age),
+            "init_whole": int(carry_w), "init_frac": int(carry_f),
+            "tables": tables,
+            "hits": np.asarray(tables["hits"], np.int64),
+            "params": TapeParams.from_snapshot(p.snapshot()),
+        })
+        fin = tables["final"]
+        carry_w, carry_f = int(fin["whole"]), int(fin["frac"])
+        carry_speed = float(fin["speed"])
+    return segs
+
+
+def _splice_pieces(segs: list[dict], env_len: int) -> list[tuple]:
+    """Global splice state machine over the segments' raw boundary hits:
+    mirrors the reference's per-sample rem/sidx evolution (Tape…py:851-858,
+    oracle render_tape_np) at hit/segment-boundary granularity.  Splice-off
+    segments FREEZE the state (the gate wraps both trigger and application).
+    Returns [(global_t, env_offset, length)] — non-overlapping by
+    construction."""
+    rem, sidx = 0, 0
+    pieces = []
+    for s in segs:
+        if not (s["consts"].splice_on and len(s["boundaries"]) > 0):
+            continue                      # frozen through this segment
+        t0, t1 = s["t0"], s["t1"]
+        hits = s["hits"]
+        nh = len(hits)
+        hi = 0
+        t = t0
+        while t < t1:
+            if rem > 0 and sidx < env_len:
+                run = min(rem, t1 - t)
+                pieces.append((t, sidx, run))
+                sidx += run
+                rem -= run
+                t += run
+                continue
+            while hi < nh and t0 + int(hits[hi]) < t:
+                hi += 1                   # hits during application: rem > 0
+            if hi >= nh:
+                break
+            t = t0 + int(hits[hi])
+            hi += 1
+            rem, sidx = env_len, 0
+    return pieces
+
+
+def render_tape_trace(audio, params: TapeParams, trace: TapeTrace,
+                      num_frames: Optional[int] = None,
+                      interp: str = "linear",
+                      return_state: bool = False):
+    """Render a performance: `params` is the state at t=0, `trace` the timed
+    mutations.  One device dispatch per segment (compiled kernels are shared
+    across segments — the device-irrelevant consts fields are normalized),
+    with position/speed/splice state carried bit-exactly via the host table
+    builder.  Returns the rendered f32 array (and, with return_state, the
+    final (params, whole, frac, speed) for record->reload continuations)."""
+    segs = build_trace_programs(audio, params, trace, num_frames)
+    env_len = int(params.splice_env_len)
+    pieces = _splice_pieces(segs, env_len)
+
+    outs = []
+    for s in segs:
+        t0, t1 = s["t0"], s["t1"]
+        Ts = t1 - t0
+        local = [(gt - t0, off, ln) for (gt, off, ln) in pieces
+                 if t0 <= gt < t1]
+        consts = s["consts"]
+        mints, mflts, mph0 = s["mod_consts"]
+        pk, t_pad, span_b, cap = _pack_tables(
+            s["tables"], Ts, int(s["audio"].shape[0]), s["starts"],
+            s["ends"], mflts, consts, interp)
+        toff = tlen = None
+        if local:
+            trig = _pad_pow2(np.asarray([x[0] for x in local], np.int32),
+                             t_pad, min_len=64)
+            if not all(off == 0 and (ln == env_len or lt + ln == Ts)
+                       for (lt, off, ln) in local):
+                # partial pieces (an envelope paused/resumed across a
+                # splice toggle): the piece-scatter path
+                toff = _pad_pow2(np.asarray([x[1] for x in local],
+                                            np.int32), 0, min_len=64)
+                tlen = _pad_pow2(np.asarray([x[2] for x in local],
+                                            np.int32), 0, min_len=64)
+            # else: every piece is a full envelope — identical to the plain
+            # trigger path, which keeps a no-event trace bit-equal to
+            # render_tape (same compiled kernel)
+        else:
+            trig = np.zeros(0, np.int32)
+        out = varispeed.tape_device_render(
+            s["audio"], mints, mflts, mph0,
+            pk["vs"], pk["bw"], pk["bf"], pk["vsec"], pk["rs"], pk["s0"],
+            pk["rm"],
+            s["starts"], s["ends"], s["reverse"], s["boundaries"],
+            trig, s["splice_env"],
+            _device_consts(consts), t_pad, False, interp, False,
+            n_valid=jnp.int32(Ts), blockwise_span=span_b, patch_cap=cap,
+            with_pieces=toff is not None, splice_off=toff, splice_len=tlen)
+        outs.append((out, Ts))
+
+    y = np.concatenate([chunked_pull(o, Ts) for (o, Ts) in outs]) \
+        if outs else np.zeros(0, np.float32)
+    if return_state:
+        last = segs[-1]["tables"]["final"] if segs else {
+            "whole": 0, "frac": 0, "speed": 1.0}
+        final_params = segs[-1]["params"] if segs else params
+        return y, {"params": final_params, "whole": int(last["whole"]),
+                   "frac": int(last["frac"]),
+                   "speed": float(last["speed"])}
+    return y
 
 
 def detect_beats(audio: np.ndarray, sample_rate: int,

@@ -629,11 +629,13 @@ def tape_tables(audio_n: int, mod_q, starts, ends, speeds_q, reverse,
     triggers = []
     splice_rem = 0
     splice_idx = 0
-    if consts.splice_on and len(boundaries) > 0:
+    hits = np.zeros(0, np.int64)
+    if len(boundaries) > 0:
         jb = np.searchsorted(boundaries, idx0)
         nb = len(boundaries)
-        hit = (jb < nb) & (boundaries[np.clip(jb, 0, nb - 1)] == idx0)
-        hits = np.nonzero(hit)[0]
+        hitm = (jb < nb) & (boundaries[np.clip(jb, 0, nb - 1)] == idx0)
+        hits = np.nonzero(hitm)[0]
+    if consts.splice_on and len(boundaries) > 0:
         last_end = -1
         for t in hits:
             if t < last_end:
@@ -655,6 +657,11 @@ def tape_tables(audio_n: int, mod_q, starts, ends, speeds_q, reverse,
         run_s0=np.asarray([r[1] for r in runs], np.int32),
         run_m=np.asarray([r[2] for r in runs], np.int32),
         triggers=np.asarray(triggers, np.int32),
+        # pre-suppression boundary-hit sample indices: the trace renderer's
+        # splice state machine (models/tape.py) needs raw hits because a
+        # carried-in envelope (rem > 0 at segment entry) changes WHICH hits
+        # trigger — greedy-suppressed triggers can't recover that
+        hits=np.asarray(hits, np.int64),
         final=final)
 
 
@@ -915,7 +922,7 @@ def _tape_read_blockwise_sinc(audio, idx0, fr, span_blocks: int,
 
 @partial(jax.jit, static_argnames=("consts", "t_total", "out_i16",
                                   "interp", "stereo", "blockwise_span",
-                                  "patch_cap"))
+                                  "patch_cap", "with_pieces"))
 def tape_device_render(audio, mod_ints, mod_flts, phase0,
                        visit_start, visit_bw, visit_bf, visit_sec,
                        run_start, run_s0, run_m,
@@ -924,7 +931,9 @@ def tape_device_render(audio, mod_ints, mod_flts, phase0,
                        consts: TapeConsts, t_total: int,
                        out_i16: bool = False, interp: str = "linear",
                        stereo: bool = False, n_valid=None,
-                       blockwise_span: int = 0, patch_cap: int = 0):
+                       blockwise_span: int = 0, patch_cap: int = 0,
+                       with_pieces: bool = False,
+                       splice_off=None, splice_len=None):
     """Whole tape render on device from compact control tables.
 
     Bit-reproduces the segment engine's positions: the increments are the
@@ -983,13 +992,28 @@ def tape_device_render(audio, mod_ints, mod_flts, phase0,
         gain = jnp.where(dmin < consts.smooth_len, g, gain)
     if consts.splice_on and splice_trig.shape[0] > 0:
         E = splice_env.shape[0]
-        # triggers are >= E apart (host greedy suppression) so the scatter
-        # rows never overlap; padding triggers sit at t_total and land in
-        # the sliced-off tail of the T+E buffer
-        buf = jnp.ones(T + E, jnp.float32)
-        rows = splice_trig[:, None] + jnp.arange(E, dtype=i32)[None, :]
-        vals = jnp.broadcast_to(splice_env[None, :], rows.shape)
-        buf = buf.at[rows.reshape(-1)].set(vals.reshape(-1))
+        j = jnp.arange(E, dtype=i32)[None, :]
+        rows = splice_trig[:, None] + j
+        if with_pieces:
+            # trace path: each trigger is an envelope PIECE (t, off, len) —
+            # a performance trace can pause an envelope mid-decay (splice
+            # toggled off freezes rem/sidx, Tape…py:851-858) and resume it
+            # in a later segment.  Application ranges never overlap, but a
+            # piece's masked 1.0 filler rows CAN cross a neighbouring
+            # piece, so scatter with max(): every env value > 1.0 beats
+            # the filler and the result is order-independent.
+            buf = jnp.ones(T + E, jnp.float32)
+            idx = jnp.clip(splice_off[:, None] + j, 0, E - 1)
+            vals = jnp.where(j < splice_len[:, None], splice_env[idx],
+                             jnp.float32(1.0))
+            buf = buf.at[rows.reshape(-1)].max(vals.reshape(-1))
+        else:
+            # triggers are >= E apart (host greedy suppression) so the
+            # scatter rows never overlap; padding triggers sit at t_total
+            # and land in the sliced-off tail of the T+E buffer
+            buf = jnp.ones(T + E, jnp.float32)
+            vals = jnp.broadcast_to(splice_env[None, :], rows.shape)
+            buf = buf.at[rows.reshape(-1)].set(vals.reshape(-1))
         gain = gain * buf[:T]
 
     if interp == "sinc":

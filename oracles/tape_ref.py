@@ -18,8 +18,15 @@ from audio_suite_tpu.ops.fixq import (
 )
 
 
-def render_tape_np(prog: dict) -> np.ndarray:
-    """Sequential render of `prog` (from models.tape.build_tape_program)."""
+def render_tape_np(prog: dict, init: dict | None = None,
+                   return_state: bool = False):
+    """Sequential render of `prog` (from models.tape.build_tape_program).
+
+    `init` optionally carries state across segmented renders (the TapeTrace
+    oracle): {"whole", "frac", "rem", "sidx"} — speed always comes from
+    prog["consts"].initial_speed_q (the trace builder embeds the carried
+    speed there, matching the engine).  With return_state the final
+    (whole, frac, rem, sidx) comes back for the next segment."""
     audio = np.asarray(prog["audio"], np.float32)
     mod_q = np.asarray(prog["mod_q"], np.float32)
     starts = np.asarray(prog["starts"], np.int64)
@@ -47,6 +54,11 @@ def render_tape_np(prog: dict) -> np.ndarray:
     speed = np.float32(c.initial_speed_q)
     rem = 0
     sidx = 0
+    if init is not None:
+        whole = int(init.get("whole", 0))
+        frac = int(init.get("frac", 0))
+        rem = int(init.get("rem", 0))
+        sidx = int(init.get("sidx", 0))
 
     out = np.zeros(T, np.float32)
     one = np.float32(1.0)
@@ -138,4 +150,7 @@ def render_tape_np(prog: dict) -> np.ndarray:
         whole = whole + carry
         frac = f - (carry << POS_FRAC_BITS)
 
+    if return_state:
+        return out, {"whole": whole, "frac": frac, "speed": float(speed),
+                     "rem": rem, "sidx": sidx}
     return out
