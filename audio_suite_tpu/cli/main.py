@@ -124,8 +124,14 @@ def cmd_scrub(args):
     for spec in args.drag or []:
         t0, dx, dur = (float(x) for x in spec.split(":"))
         drags.append((t0, dx, dur))
+    keys = []
+    for spec in args.key or []:
+        t, k = spec.split(":")
+        keys.append((float(t), k))
     trace = scrub.scripted_gesture_trace(blocks, sr, drag_events=drags,
-                                         base_speed=args.base_speed)
+                                         base_speed=args.base_speed,
+                                         key_events=keys,
+                                         head_count=args.heads)
     import time
 
     from ..utils.profiling import render_meta
@@ -299,6 +305,10 @@ def build_parser():
     s.add_argument("--base-speed", type=float, default=0.5)
     s.add_argument("--drag", action="append",
                    help="t0:dx:dur gesture (repeatable)")
+    s.add_argument("--key", action="append",
+                   help="t:KEY live control event (repeatable): 1/2/3 head "
+                        "count, Z/X C/V B/N head-offset nudges, R reset, "
+                        "Up/Down/0 base speed (scrubber_0.7.py:320-361)")
     s.set_defaults(fn=cmd_scrub)
 
     pl = sub.add_parser("patternlab", help="FM+PSG pattern render")

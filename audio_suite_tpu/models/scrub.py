@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
+from typing import Optional
 
 import numpy as np
 import jax
@@ -50,6 +51,7 @@ DROPOUT_MAX_BLOCKS = 10
 MAX_TAPE_SPEED = 40_000.0
 FPS = 60.0
 BLOCK_SIZE = 1024
+HEAD_OFFSET_STEP = 200.0
 
 
 @dataclass
@@ -80,10 +82,19 @@ class GestureTrace:
     gesture_speed[b] : scrub speed in samples/sec (LMB drag)
     jump[b]          : sample position to jump to at block b start (RMB),
                        or NaN for no jump
+    head_count[b]    : live head-count keys 1/2/3 (scrubber_0.7.py:328-334);
+                       None = cfg.head_count for the whole render
+    head_offsets[b,3]: live offset nudges Z/X C/V B/N, reset R
+                       (scrubber_0.7.py:344-358); None = cfg.head_offsets
+
+    The voice configuration (count/offsets) applies at block granularity —
+    the reference audio callback reads the GUI globals once per block.
     """
     base_speed: np.ndarray
     gesture_speed: np.ndarray
     jump: np.ndarray
+    head_count: Optional[np.ndarray] = None
+    head_offsets: Optional[np.ndarray] = None
 
     @property
     def num_blocks(self) -> int:
@@ -99,19 +110,61 @@ def constant_trace(num_blocks: int, base_speed: float = 0.5,
     )
 
 
+#: key -> (head index, offset delta) for the nudge keys
+#: (scrubber_0.7.py:344-356)
+_NUDGE_KEYS = {"Z": (0, -HEAD_OFFSET_STEP), "X": (0, +HEAD_OFFSET_STEP),
+               "C": (1, -HEAD_OFFSET_STEP), "V": (1, +HEAD_OFFSET_STEP),
+               "B": (2, -HEAD_OFFSET_STEP), "N": (2, +HEAD_OFFSET_STEP)}
+
+
 def scripted_gesture_trace(num_blocks: int, sample_rate: int,
                            block_size: int = BLOCK_SIZE,
                            drag_events=(), base_speed: float = 0.0,
-                           jumps=()) -> GestureTrace:
+                           jumps=(), key_events=(),
+                           head_count: int = 3,
+                           head_offsets=DEFAULT_HEAD_OFFSETS) -> GestureTrace:
     """Simulate the GUI loop: drags set gesture_speed = dx*70*FPS; friction
     multiplies by 0.93 per GUI frame when not dragging (scrubber_0.7.py:
     262-312).  drag_events: list of (start_sec, dx_pixels_per_frame,
-    duration_sec). jumps: list of (sec, target_sample)."""
+    duration_sec). jumps: list of (sec, target_sample).
+
+    key_events: list of (sec, key) reproducing the live keyboard
+    (scrubber_0.7.py:320-361): "1"/"2"/"3" set head count, "Z/X C/V B/N"
+    nudge head offsets by ∓/± 200 samples, "R" resets offsets,
+    "Up"/"Down"/"0" step the base speed factor ±0.1 / to 0.  Keys apply at
+    the start of the block containing their timestamp (the reference's
+    audio callback reads the key-mutated globals once per block)."""
     blocks_per_sec = sample_rate / block_size
+    keys_by_block: dict[int, list[str]] = {}
+    for (sec, key) in key_events:
+        b = int(sec * blocks_per_sec)
+        if 0 <= b < num_blocks:
+            keys_by_block.setdefault(b, []).append(str(key))
+
     gesture = np.zeros(num_blocks, np.float64)
+    base = np.zeros(num_blocks, np.float64)
+    counts = np.zeros(num_blocks, np.int32)
+    offsets = np.zeros((num_blocks, 3), np.float64)
     g = 0.0
+    bsf = float(base_speed)
+    cnt = int(head_count)
+    offs = [float(o) for o in head_offsets]
     friction_per_block = TAPE_FRICTION_PER_FRAME ** (FPS / blocks_per_sec)
     for b in range(num_blocks):
+        for key in keys_by_block.get(b, []):
+            if key in ("1", "2", "3"):
+                cnt = int(key)
+            elif key in _NUDGE_KEYS:
+                h, d = _NUDGE_KEYS[key]
+                offs[h] += d
+            elif key == "R":
+                offs = [float(o) for o in DEFAULT_HEAD_OFFSETS]
+            elif key == "Up":
+                bsf = min(1.0, bsf + 0.1)
+            elif key == "Down":
+                bsf = max(-1.0, bsf - 0.1)
+            elif key == "0":
+                bsf = 0.0
         t = b / blocks_per_sec
         dragging = False
         for (t0, dx, dur) in drag_events:
@@ -121,14 +174,19 @@ def scripted_gesture_trace(num_blocks: int, sample_rate: int,
         if not dragging:
             g *= friction_per_block
         gesture[b] = g
+        base[b] = bsf
+        counts[b] = cnt
+        offsets[b] = offs
     jump = np.full(num_blocks, np.nan)
     for (sec, target) in jumps:
         b = int(sec * blocks_per_sec)
         if 0 <= b < num_blocks:
             jump[b] = float(target)
+    live_heads = bool(key_events)
     return GestureTrace(
-        base_speed=np.full(num_blocks, base_speed, np.float64),
-        gesture_speed=gesture, jump=jump)
+        base_speed=base, gesture_speed=gesture, jump=jump,
+        head_count=counts if live_heads else None,
+        head_offsets=offsets if live_heads else None)
 
 
 _J_STREAM = 7  # counter-noise stream for stretch jitter
@@ -275,6 +333,44 @@ def build_scrub_program(audio: np.ndarray, cfg: ScrubConfig,
     head_off_whole = head_off[:, 0].astype(np.int32)
     head_off_frac = head_off[:, 1].astype(np.int32)
 
+    # --- live voice-configuration segments (keys 1/2/3, Z/X C/V B/N) ---
+    # positions are head-independent, so control changes only re-segment
+    # the READ: maximal runs of constant (count, offsets) become control
+    # segments, each read with its own static head layout + gain
+    head_segments = []
+    if trace.head_count is not None or trace.head_offsets is not None:
+        cnts = (np.asarray(trace.head_count, np.int32)
+                if trace.head_count is not None
+                else np.full(nb, cfg.head_count, np.int32))
+        offs_b = (np.asarray(trace.head_offsets, np.float64)
+                  if trace.head_offsets is not None
+                  else np.tile(np.asarray(cfg.head_offsets, np.float64),
+                               (nb, 1)))
+        b0 = 0
+        for b in range(1, nb + 1):
+            if (b == nb or cnts[b] != cnts[b0]
+                    or not np.array_equal(offs_b[b], offs_b[b0])):
+                left, center, right = offs_b[b0]
+                c = int(cnts[b0])
+                act = ([center] if c <= 1
+                       else [left, right] if c == 2
+                       else [left, center, right])
+                ho = np.asarray([fixq.split_pos_np(o) for o in act],
+                                np.int32)
+                head_segments.append({
+                    "b0": b0, "b1": b,
+                    "off_whole": ho[:, 0].astype(np.int32),
+                    "off_frac": ho[:, 1].astype(np.int32),
+                    "gain": np.float32(HEAD_GAIN / max(1, len(act))),
+                })
+                b0 = b
+    if not head_segments:
+        head_segments = [{"b0": 0, "b1": nb,
+                          "off_whole": head_off_whole,
+                          "off_frac": head_off_frac,
+                          "gain": np.float32(HEAD_GAIN
+                                             / max(1, len(offsets)))}]
+
     return {
         "audio": audio,
         "inc_fix": inc_fix,           # NumPy twin (oracle; with_inc only)
@@ -290,6 +386,7 @@ def build_scrub_program(audio: np.ndarray, cfg: ScrubConfig,
         "head_off_whole": head_off_whole,
         "head_off_frac": head_off_frac,
         "head_gain": np.float32(HEAD_GAIN / max(1, len(offsets))),
+        "head_segments": head_segments,
         "block_size": bs,
         "num_frames": T,
     }
@@ -448,6 +545,32 @@ def _dup_stereo(y):
     return jnp.stack([y, y], axis=-1)
 
 
+def _positions(base_inc_q, js_q, seed, mod_consts, jump_flags,
+               seg_bases_whole, seg_bases_frac, block_size: int):
+    """On-device increment synthesis + segmented fixed-point exclusive
+    prefix sum -> per-sample (whole, frac) tape positions.  Shared by the
+    static-head and live-control render kernels (positions are
+    head-independent)."""
+    nb = base_inc_q.shape[0]
+    inc_fix = _inc_device(base_inc_q, js_q, seed, block_size, mod_consts)
+    reset = jnp.zeros((nb, block_size), jnp.bool_) \
+        .at[:, 0].set(jump_flags).reshape(-1)
+    # exclusive prefix: position at sample i excludes its own increment
+    inc_shift = jnp.concatenate([jnp.zeros(1, jnp.int32), inc_fix[:-1]])
+    # don't carry the pre-jump increment across a jump boundary
+    inc_shift = jnp.where(reset, 0, inc_shift)
+    whole, frac = fixq.segmented_pos_cumsum(inc_shift, reset)
+    # add each segment's base position
+    seg_id = jnp.cumsum(reset.astype(jnp.int32))
+    bw = seg_bases_whole[seg_id]
+    bf = seg_bases_frac[seg_id]
+    f = frac + bf
+    carry = f >> fixq.POS_FRAC_BITS
+    whole = whole + bw + carry
+    frac = f - (carry << fixq.POS_FRAC_BITS)
+    return whole, frac
+
+
 @partial(jax.jit,
          static_argnames=("block_size", "span_blocks", "heads_integer",
                           "out_i16", "interp", "stereo", "head_offs"))
@@ -466,22 +589,8 @@ def _scrub_render_jit(audio, base_inc_q, js_q, seed, mod_consts,
     nb = base_inc_q.shape[0]
     T = nb * block_size
     n = audio.shape[0]
-    inc_fix = _inc_device(base_inc_q, js_q, seed, block_size, mod_consts)
-    reset = jnp.zeros((nb, block_size), jnp.bool_) \
-        .at[:, 0].set(jump_flags).reshape(-1)
-    # exclusive prefix: position at sample i excludes its own increment
-    inc_shift = jnp.concatenate([jnp.zeros(1, jnp.int32), inc_fix[:-1]])
-    # don't carry the pre-jump increment across a jump boundary
-    inc_shift = jnp.where(reset, 0, inc_shift)
-    whole, frac = fixq.segmented_pos_cumsum(inc_shift, reset)
-    # add each segment's base position
-    seg_id = jnp.cumsum(reset.astype(jnp.int32))
-    bw = seg_bases_whole[seg_id]
-    bf = seg_bases_frac[seg_id]
-    f = frac + bf
-    carry = f >> fixq.POS_FRAC_BITS
-    whole = whole + bw + carry
-    frac = f - (carry << fixq.POS_FRAC_BITS)
+    whole, frac = _positions(base_inc_q, js_q, seed, mod_consts, jump_flags,
+                             seg_bases_whole, seg_bases_frac, block_size)
 
     use_blockwise = ((T % 128 == 0) and n > 2 * span_blocks * 128 + 32
                      and interp == "linear")
@@ -527,6 +636,99 @@ def _scrub_render_jit(audio, base_inc_q, js_q, seed, mod_consts,
     return y
 
 
+@partial(jax.jit,
+         static_argnames=("block_size", "span_blocks", "out_i16", "interp",
+                          "stereo", "spec"))
+def _scrub_render_multi_jit(audio, base_inc_q, js_q, seed, mod_consts,
+                            jump_flags, seg_bases_whole, seg_bases_frac,
+                            env_blocks, off_w_pad, off_f_pad,
+                            block_size: int, span_blocks: int,
+                            out_i16: bool, interp: str, stereo: bool,
+                            spec: tuple):
+    """Live-control render: ONE global position pass, then per-control-
+    segment reads with that segment's static head layout (keys 1/2/3 and
+    Z/X C/V B/N change the voice configuration mid-performance,
+    scrubber_0.7.py:320-361; positions are head-independent so only the
+    read re-dispatches).
+
+    spec: static ((t0, t1, offs_int_or_None, gain, n_heads), ...) with
+    t0/t1 in samples (block-aligned).  Integer head layouts use the
+    blockwise MXU read (offsets become static window shifts, one compiled
+    sub-read per distinct layout); fractional layouts fall back to per-head
+    gathers reading off_w_pad/off_f_pad[si]."""
+    n = audio.shape[0]
+    whole, frac = _positions(base_inc_q, js_q, seed, mod_consts, jump_flags,
+                             seg_bases_whole, seg_bases_frac, block_size)
+    parts = []
+    for si, (t0, t1, offs, gain, nh) in enumerate(spec):
+        w = jax.lax.slice(whole, (t0,), (t1,))
+        f = jax.lax.slice(frac, (t0,), (t1,))
+        Tseg = t1 - t0
+        blockwise_ok = ((Tseg % 128 == 0)
+                        and n > 2 * span_blocks * 128 + 32
+                        and interp == "linear")
+        if interp == "sinc":
+            buf = jnp.zeros(Tseg, jnp.float32)
+            for h in range(nh):
+                f2 = f + off_f_pad[si, h]
+                c2 = f2 >> fixq.POS_FRAC_BITS
+                w2 = w + off_w_pad[si, h] + c2
+                f2 = f2 - (c2 << fixq.POS_FRAC_BITS)
+                buf = buf + fixq.gather_sinc_wrap(audio, w2, f2)
+        elif blockwise_ok and offs is not None:
+            buf = _read_blockwise_multi(audio, w, f, offs, span_blocks)
+        else:
+            buf = jnp.zeros(Tseg, jnp.float32)
+            for h in range(nh):
+                f2 = f + off_f_pad[si, h]
+                c2 = f2 >> fixq.POS_FRAC_BITS
+                w2 = w + off_w_pad[si, h] + c2
+                f2 = f2 - (c2 << fixq.POS_FRAC_BITS)
+                if blockwise_ok:
+                    buf = buf + _read_blockwise(audio, w2, f2, span_blocks)
+                else:
+                    buf = buf + fixq.gather_linear_wrap(audio, w2, f2)
+        parts.append(buf * jnp.float32(gain))
+    buf = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    env = jnp.repeat(env_blocks, block_size)
+    y = buf * env
+    if stereo:
+        y = jnp.stack([y, y], axis=-1)
+    if out_i16:
+        return jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0) \
+            .astype(jnp.int16)
+    return y
+
+
+def scrub_render_segments(prog: dict, span_blocks: int,
+                          out_i16: bool = False, interp: str = "linear",
+                          stereo: bool = False):
+    """Dispatch the live-control kernel from a program's head_segments."""
+    segs = prog["head_segments"]
+    bs = int(prog["block_size"])
+    nh_max = max(len(s["off_whole"]) for s in segs)
+    spec = []
+    off_w = np.zeros((len(segs), nh_max), np.int32)
+    off_f = np.zeros((len(segs), nh_max), np.int32)
+    for si, s in enumerate(segs):
+        nh = len(s["off_whole"])
+        off_w[si, :nh] = s["off_whole"]
+        off_f[si, :nh] = s["off_frac"]
+        integer = bool(np.all(s["off_frac"] == 0))
+        offs = (tuple(int(v) for v in s["off_whole"]) if integer else None)
+        spec.append((int(s["b0"]) * bs, int(s["b1"]) * bs, offs,
+                     float(s["gain"]), nh))
+    y = _scrub_render_multi_jit(
+        prog["audio"], prog["base_inc_q"], prog["js_q"],
+        np.uint32(prog["seed"]), prog["mod_consts"], prog["jump_flags"],
+        prog["seg_bases_whole"], prog["seg_bases_frac"], prog["env_blocks"],
+        off_w, off_f, bs, span_blocks, out_i16, interp, False, tuple(spec))
+    if stereo:
+        y = _dup_stereo(y)
+    return y
+
+
 def render_scrub(audio: np.ndarray, cfg: ScrubConfig, trace: GestureTrace,
                  tape_pos0: float = 0.0, stereo: bool = False,
                  device_out: bool = False, pcm16: bool = False,
@@ -539,13 +741,22 @@ def render_scrub(audio: np.ndarray, cfg: ScrubConfig, trace: GestureTrace,
     # bound per-sample movement, and bucketing stops every distinct gesture
     # top-speed from triggering a fresh jit compile
     span = 1 << (span - 1).bit_length()
-    heads_integer = bool(np.all(prog["head_off_frac"] == 0))
+    if len(prog["head_segments"]) > 1:
+        # live head-control events in the trace (keys 1/2/3, Z/X C/V B/N)
+        out = scrub_render_segments(prog, span, pcm16, interp, stereo)
+        if device_out:
+            return out
+        return chunked_pull(out)
+    # a constant voice configuration may still come from the trace (head
+    # arrays present but unchanging): segment 0 IS the whole render
+    seg0 = prog["head_segments"][0]
+    heads_integer = bool(np.all(seg0["off_frac"] == 0))
     out = scrub_render_kernel(
         prog["audio"], prog["base_inc_q"], prog["js_q"],
         np.uint32(prog["seed"]), prog["mod_consts"], prog["jump_flags"],
         prog["seg_bases_whole"], prog["seg_bases_frac"], prog["env_blocks"],
-        prog["head_off_whole"], prog["head_off_frac"],
-        np.float32(prog["head_gain"]), prog["block_size"], span,
+        seg0["off_whole"], seg0["off_frac"],
+        np.float32(seg0["gain"]), prog["block_size"], span,
         heads_integer, pcm16, interp, stereo,
     )
     if device_out:

@@ -49,15 +49,26 @@ def render_scrub_np(prog: dict) -> np.ndarray:
         w += carry
         f = ff - (carry << POS_FRAC_BITS)
 
+    # live voice-configuration segments (head keys 1/2/3, Z/X C/V B/N):
+    # each block reads with its control segment's head layout + gain
+    segs = prog.get("head_segments") or [{
+        "b0": 0, "b1": nb, "off_whole": head_off_w, "off_frac": head_off_f,
+        "gain": head_gain}]
+    seg_of_block = np.zeros(nb, np.int64)
+    for si, s in enumerate(segs):
+        seg_of_block[int(s["b0"]):int(s["b1"])] = si
+
     for b in range(nb):
+        s = segs[int(seg_of_block[b])]
         sl = slice(b * bs, (b + 1) * bs)
         buf = np.zeros(bs, np.float32)
-        for ow, of in zip(head_off_w, head_off_f):
+        for ow, of in zip(np.asarray(s["off_whole"], np.int64),
+                          np.asarray(s["off_frac"], np.int64)):
             f2 = frac[sl] + int(of)
             c2 = f2 >> POS_FRAC_BITS
             w2 = whole[sl] + int(ow) + c2
             f2 = f2 - (c2 << POS_FRAC_BITS)
             buf += gather_linear_wrap_np(audio, w2, f2)
-        buf *= head_gain
+        buf *= np.float32(s["gain"])
         out[sl] = buf * env_blocks[b]
     return out
