@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..events.notes import NoteEvent, RenderConfig, apply_time_ops, prepare_note_batch
+from ..ops import envelopes
 from ..ops import pallas_oa
 from ..ops import synth as synth_ops
 from ..utils import music
@@ -457,7 +458,13 @@ class MegaDriveInspiredSynth:
         if fm_rows.size:
             tab = self._fm_tab
             ch = chan[fm_rows] % 6
-            f32 = np.empty((fm_rows.size, 20), np.float32)
+            # host-precomputed ADSR stage consts per (note, op): the device
+            # envelope becomes division-free (envelopes.adsr_from_consts),
+            # bit-identical to the oracle on every backend
+            ec = envelopes.adsr_consts_np(
+                batch["n"][fm_rows][:, None], tab["A"][ch], tab["D"][ch],
+                tab["R"][ch], tab["s"][ch])
+            f32 = np.empty((fm_rows.size, 36), np.float32)
             f32[:, 0] = batch["vel"][fm_rows]
             f32[:, 1:5] = fm_op_freqs(tab, ch, batch["midi"][fm_rows])
             f32[:, 5:9] = tab["level"][ch]
@@ -466,17 +473,27 @@ class MegaDriveInspiredSynth:
             f32[:, 17] = tab["feedback"][ch]
             f32[:, 18] = tab["lfo_hz"][ch]
             f32[:, 19] = tab["lfo_depth"][ch]
-            i32 = np.empty((fm_rows.size, 14), np.int32)
+            f32[:, 20:24] = ec["inv_na"]
+            f32[:, 24:28] = ec["inv_nd"]
+            f32[:, 28:32] = ec["inv_dr"]
+            f32[:, 32:36] = ec["startv"]
+            i32 = np.empty((fm_rows.size, 26), np.int32)
             i32[:, 0] = batch["n"][fm_rows]
             i32[:, 1] = batch["start"][fm_rows]
             i32[:, 2:6] = tab["A"][ch]
             i32[:, 6:10] = tab["D"][ch]
             i32[:, 10:14] = tab["R"][ch]
+            i32[:, 14:18] = ec["n_a"]
+            i32[:, 18:22] = ec["n_d"]
+            i32[:, 22:26] = ec["n_r"]
             packs["fm32"], packs["fmi"] = f32, i32
         if pg_rows.size:
             tab = self._psg_tab
             ch = chan[pg_rows] % 4
-            f32 = np.empty((pg_rows.size, 6), np.float32)
+            ec = envelopes.adsr_consts_np(
+                batch["n"][pg_rows], tab["A"][ch], tab["D"][ch],
+                tab["R"][ch], tab["s"][ch])
+            f32 = np.empty((pg_rows.size, 10), np.float32)
             f32[:, 0] = (music.A4 * np.exp2(
                 (np.asarray(batch["midi"][pg_rows], np.float64) - 69.0)
                 / 12.0)).astype(np.float32)
@@ -485,7 +502,11 @@ class MegaDriveInspiredSynth:
             f32[:, 3] = tab["s"][ch]
             f32[:, 4] = tab["levels_m1"][ch]
             f32[:, 5] = tab["inv_levels_m1"][ch]
-            i32 = np.empty((pg_rows.size, 7), np.int32)
+            f32[:, 6] = ec["inv_na"]
+            f32[:, 7] = ec["inv_nd"]
+            f32[:, 8] = ec["inv_dr"]
+            f32[:, 9] = ec["startv"]
+            i32 = np.empty((pg_rows.size, 10), np.int32)
             i32[:, 0] = batch["n"][pg_rows]
             i32[:, 1] = batch["start"][pg_rows]
             i32[:, 2] = tab["A"][ch]
@@ -493,6 +514,9 @@ class MegaDriveInspiredSynth:
             i32[:, 4] = tab["R"][ch]
             i32[:, 5] = (self.seed + batch["k"][pg_rows]).astype(np.int32)
             i32[:, 6] = tab["noise"][ch].astype(np.int32)
+            i32[:, 7] = ec["n_a"]
+            i32[:, 8] = ec["n_d"]
+            i32[:, 9] = ec["n_r"]
             packs["pg32"], packs["pgi"] = f32, i32
         # device-resident packs: re-dispatching the same program ships
         # nothing but the jit call itself
@@ -546,7 +570,7 @@ class PreparedRender:
     only the stages its edit invalidates."""
     n_total: int
     spec: tuple           # ((is_psg, L, alg, vib, count), ...) row-ordered
-    packs: dict           # fm32 [Nfm,20] / fmi [Nfm,14] / pg32 / pgi
+    packs: dict           # fm32 [Nfm,36] / fmi [Nfm,26] / pg32 / pgi
 
 
 @lru_cache(maxsize=64)
@@ -575,14 +599,17 @@ def _render_dispatch(sr: int, fade: int, lp1: float, lp2: float,
                 pg_off += count
                 ns, starts = i32[:, 0], i32[:, 1]
                 notes = jax.vmap(
-                    lambda n, hz, vel, duty, noi, A, D, R, s, lm1, ilm1, sd:
+                    lambda n, hz, vel, duty, noi, A, D, R, s, lm1, ilm1, sd,
+                    ec:
                     synth_ops.psg_note(
                         i_vec, n, hz, vel, duty, noi, A, D, R, s, lm1, ilm1,
                         fade, psg_lp, sd,
-                        orbit, base, pos, clen, sr))(
+                        orbit, base, pos, clen, sr, env_consts=ec))(
                     ns, f32[:, 0], f32[:, 1], f32[:, 2], i32[:, 6] != 0,
                     i32[:, 2], i32[:, 3], i32[:, 4], f32[:, 3], f32[:, 4],
-                    f32[:, 5], i32[:, 5])
+                    f32[:, 5], i32[:, 5],
+                    (i32[:, 7], i32[:, 8], i32[:, 9], f32[:, 6], f32[:, 7],
+                     f32[:, 8], f32[:, 9]))
             else:
                 f32 = packs["fm32"][fm_off: fm_off + count]
                 i32 = packs["fmi"][fm_off: fm_off + count]
@@ -592,7 +619,13 @@ def _render_dispatch(sr: int, fade: int, lp1: float, lp2: float,
                       "s": f32[:, 13:17], "feedback": f32[:, 17],
                       "lfo_hz": f32[:, 18], "lfo_depth": f32[:, 19],
                       "A": i32[:, 2:6], "D": i32[:, 6:10],
-                      "R": i32[:, 10:14]}
+                      "R": i32[:, 10:14],
+                      "env_n_a": i32[:, 14:18], "env_n_d": i32[:, 18:22],
+                      "env_n_r": i32[:, 22:26],
+                      "env_inv_na": f32[:, 20:24],
+                      "env_inv_nd": f32[:, 24:28],
+                      "env_inv_dr": f32[:, 28:32],
+                      "env_startv": f32[:, 32:36]}
                 inv_dac = float(np.float32(1.0 / float(dac_m1)))
                 notes = jax.vmap(
                     lambda n, fo, vel, cpn:

@@ -63,6 +63,73 @@ def adsr_clamped(i, n, A, D, R, s):
     return jnp.where(i < n, env, jnp.float32(0.0))
 
 
+def adsr_from_consts(i, n, n_a, n_d, n_r, inv_na, inv_nd, inv_dr, startv, s):
+    """Stage-clamped ADSR from HOST-precomputed per-note constants.
+
+    Replaces adsr_clamped's on-device f32 divisions (ramp = i / n_a etc.):
+    XLA:TPU f32 division is not correctly rounded, so the quotient could
+    sit 1 ulp off the oracle's value — and a 1-ulp envelope wiggle upstream
+    of the 14-bit DAC quantizer flips a whole quantization step (-78 dBFS
+    per flip; coincident flips dominated the long-render parity error).
+    With the reciprocals computed host-side (NumPy f32 division IS
+    correctly rounded) every remaining op is a correctly-rounded f32
+    multiply/add on all backends, so engine and oracle envelopes are
+    bit-identical.
+
+    n_a, n_d, n_r : int32 — host-clamped stage lengths (sum with n_s = n)
+    inv_na : f32 = 1/max(1, n_a);  inv_nd : f32 = 1/max(1, n_d)
+    inv_dr : f32 = 1/max(1, n_r - 1)
+    startv : f32 — envelope value entering the release stage
+    """
+    one = jnp.float32(1.0)
+    fi = i.astype(jnp.float32)
+    ramp_a = fi * inv_na
+    val_a = ramp_a * ramp_a
+    kd = (i - n_a).astype(jnp.float32)
+    val_d = one + (s - one) * (kd * inv_nd)
+    rel_start = n - n_r
+    kr = (i - rel_start).astype(jnp.float32)
+    ramp_r = jnp.where(n_r > 1, one - kr * inv_dr, one)
+    val_r = startv * (ramp_r * ramp_r)
+    env = jnp.where(i < n_a, val_a,
+                    jnp.where(i < n_a + n_d, val_d,
+                              jnp.where(i < rel_start, s, val_r)))
+    return jnp.where(i < n, env, jnp.float32(0.0))
+
+
+def adsr_consts_np(n, A, D, R, s):
+    """Host twin: stage lengths + reciprocals + release start value for
+    adsr_from_consts, vectorized over note/op axes.  All f32 ops mirror the
+    device formulas exactly (correctly-rounded NumPy arithmetic)."""
+    n = np.asarray(n, np.int64)
+    A = np.asarray(A, np.int64)
+    D = np.asarray(D, np.int64)
+    R = np.asarray(R, np.int64)
+    s = np.asarray(s, np.float32)
+    n_a = np.minimum(n, A)
+    rem = np.maximum(0, n - n_a)
+    n_d = np.minimum(rem, D)
+    rem2 = np.maximum(0, rem - n_d)
+    n_r = np.minimum(rem2, R)
+    n_s = rem2 - n_r
+    one = np.float32(1.0)
+    inv_na = (one / np.maximum(1, n_a).astype(np.float32)).astype(np.float32)
+    inv_nd = (one / np.maximum(1, n_d).astype(np.float32)).astype(np.float32)
+    inv_dr = (one / np.maximum(1, n_r - 1).astype(np.float32)) \
+        .astype(np.float32)
+    last_d = (one + (s - one)
+              * ((n_d - 1).astype(np.float32) * inv_nd)).astype(np.float32)
+    la = ((n_a - 1).astype(np.float32) * inv_na).astype(np.float32)
+    last_a = (la * la).astype(np.float32)
+    startv = np.where(n_s > 0, s,
+                      np.where(n_d > 0, last_d,
+                               np.where(n_a > 0, last_a, s))) \
+        .astype(np.float32)
+    return dict(n_a=n_a.astype(np.int32), n_d=n_d.astype(np.int32),
+                n_r=n_r.astype(np.int32), inv_na=inv_na, inv_nd=inv_nd,
+                inv_dr=inv_dr, startv=startv)
+
+
 def micro_fade_gain(i, n, fade_samples):
     """Gain curve of _apply_micro_fade (app/synth_fm.py:7-24): half-cosine
     fade over fade_n = clip(fade_samples, 8, n//3) samples at both ends,

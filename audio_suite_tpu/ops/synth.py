@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .envelopes import adsr_clamped, micro_fade_gain
+from .envelopes import adsr_clamped, adsr_from_consts, micro_fade_gain
 from . import detmath
 
 
@@ -153,9 +153,16 @@ def lfsr_noise(i, seed, orbit_pm1, base, pos, clen):
 
 def psg_note(i, n, hz, vel, duty, use_noise, A, D, R, s, levels_m1,
              inv_levels_m1, fade_samples, lp_a, seed, orbit_pm1, base, pos,
-             clen, sr):
-    """One PSG note over padded indices i[L]; masked beyond n."""
-    env = adsr_clamped(i, n, A, D, R, s)
+             clen, sr, env_consts=None):
+    """One PSG note over padded indices i[L]; masked beyond n.
+
+    env_consts: optional (n_a, n_d, n_r, inv_na, inv_nd, inv_dr, startv)
+    host-precomputed stage constants — division-free envelope, bit-identical
+    to the oracle on every backend (envelopes.adsr_from_consts)."""
+    if env_consts is not None:
+        env = adsr_from_consts(i, n, *env_consts, s)
+    else:
+        env = adsr_clamped(i, n, A, D, R, s)
     # t via reciprocal multiply and phase via explicit floor-subtract:
     # exact-rounded IEEE ops on every backend, so the duty-cycle sign
     # decision below can never flip vs the NumPy oracle (a square flip is
@@ -233,8 +240,20 @@ def fm_note(i, n, f_ops, vel, chan_params, fade_samples, lp_a1, lp_a2,
         if pm_cyc is not None:
             r0 = r0 + pm_cyc
         sig = detmath.sin_cycles(r0)
-        env = adsr_clamped(i, n, chan_params["A"][k], chan_params["D"][k],
-                           chan_params["R"][k], chan_params["s"][k])
+        if "env_n_a" in chan_params:
+            # host-precomputed stage consts: no on-device division, so the
+            # envelope is bit-identical to the oracle on every backend
+            # (TPU f32 division is not correctly rounded — see
+            # envelopes.adsr_from_consts)
+            env = adsr_from_consts(
+                i, n, chan_params["env_n_a"][k], chan_params["env_n_d"][k],
+                chan_params["env_n_r"][k], chan_params["env_inv_na"][k],
+                chan_params["env_inv_nd"][k], chan_params["env_inv_dr"][k],
+                chan_params["env_startv"][k], chan_params["s"][k])
+        else:
+            env = adsr_clamped(i, n, chan_params["A"][k],
+                               chan_params["D"][k],
+                               chan_params["R"][k], chan_params["s"][k])
         return sig * env * chan_params["level"][k]
 
     from .fixq import round_sig12

@@ -42,36 +42,43 @@ def _apply_micro_fade(x: np.ndarray, sr: int, fade_ms: float = 12.0) -> np.ndarr
 
 
 def _adsr_env(n, sr, a, d, s, r, min_a, min_r):
-    """app/synth_fm.py:64-99 / synth_psg.py:48-77 (min_a/min_r differ)."""
+    """app/synth_fm.py:64-99 / synth_psg.py:48-77 (min_a/min_r differ).
+
+    Ramp arithmetic is the framework's host-const convention
+    (ops/envelopes.adsr_consts_np / adsr_from_consts): correctly-rounded
+    f32 reciprocal MULTIPLIES instead of the reference's f64 linspace
+    steps.  Values differ from the literal reference by <= ~1 ulp of the
+    envelope (the same order as the reference's own f32 noise); what it
+    buys is a BIT-IDENTICAL envelope between this oracle and the TPU
+    engine — XLA:TPU f32 division is not correctly rounded, and 1-ulp
+    envelope wiggles upstream of the DAC quantizer flipped quantization
+    steps that dominated long-render parity error (BASELINE.md)."""
+    from audio_suite_tpu.ops.envelopes import adsr_consts_np
+
     a = max(min_a, float(a))
     d = max(1e-4, float(d))
     r = max(min_r, float(r))
-    n_a = min(n, int(sr * a))
-    rem = max(0, n - n_a)
-    n_d = min(rem, int(sr * d))
-    rem = max(0, rem - n_d)
-    n_r = min(rem, int(sr * r))
-    rem = max(0, rem - n_r)
-    n_s = rem
+    A, D, R = int(sr * a), int(sr * d), int(sr * r)
+    s32 = np.float32(s)
+    ec = adsr_consts_np(n, A, D, R, s32)
+    n_a, n_d, n_r = int(ec["n_a"]), int(ec["n_d"]), int(ec["n_r"])
 
-    env = np.zeros(n, dtype=np.float32)
-    i = 0
-    if n_a > 0:
-        ramp = np.linspace(0.0, 1.0, n_a, endpoint=False, dtype=np.float32)
-        env[i:i + n_a] = ramp * ramp
-        i += n_a
-    if n_d > 0:
-        env[i:i + n_d] = np.linspace(1.0, s, n_d, endpoint=False, dtype=np.float32)
-        i += n_d
-    if n_s > 0:
-        env[i:i + n_s] = s
-        i += n_s
-    if n_r > 0:
-        ramp = np.linspace(1.0, 0.0, n_r, endpoint=True, dtype=np.float32)
-        ramp = ramp * ramp
-        startv = float(env[i - 1] if i > 0 else s)
-        env[i:i + n_r] = startv * ramp
-    return env
+    i = np.arange(n, dtype=np.int64)
+    fi = i.astype(np.float32)
+    one = np.float32(1.0)
+    ramp_a = (fi * ec["inv_na"]).astype(np.float32)
+    val_a = (ramp_a * ramp_a).astype(np.float32)
+    kd = (i - n_a).astype(np.float32)
+    val_d = (one + (s32 - one) * (kd * ec["inv_nd"])).astype(np.float32)
+    rel_start = n - n_r
+    kr = (i - rel_start).astype(np.float32)
+    ramp_r = (np.where(n_r > 1, one - kr * ec["inv_dr"], one)
+              .astype(np.float32))
+    val_r = (ec["startv"] * (ramp_r * ramp_r)).astype(np.float32)
+    env = np.where(i < n_a, val_a,
+                   np.where(i < n_a + n_d, val_d,
+                            np.where(i < rel_start, s32, val_r)))
+    return env.astype(np.float32)
 
 
 def _one_pole_lp(x, sr, cutoff_hz, min_cutoff=20.0):
