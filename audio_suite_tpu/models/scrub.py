@@ -182,7 +182,13 @@ def scripted_gesture_trace(num_blocks: int, sample_rate: int,
         b = int(sec * blocks_per_sec)
         if 0 <= b < num_blocks:
             jump[b] = float(target)
-    live_heads = bool(key_events)
+    # Only publish head lanes when a head-AFFECTING key occurred: a
+    # speed-only trace (Up/Down/0) must not silently override
+    # ScrubConfig.head_count/head_offsets with this function's seed
+    # defaults downstream in build_scrub_program.
+    head_keys = {"1", "2", "3", "R", *_NUDGE_KEYS}
+    live_heads = any(k in head_keys
+                     for ks in keys_by_block.values() for k in ks)
     return GestureTrace(
         base_speed=base, gesture_speed=gesture, jump=jump,
         head_count=counts if live_heads else None,

@@ -163,6 +163,13 @@ def wow_flutter_mod(num_frames: int, sample_rate: int, tape_age: int,
     return fixq.quantize_f32_np(mod)
 
 
+# Wow 0.4 Hz = 2/5, flutter 7 Hz = 7/1 (Tape…py:794-798) as exact integer
+# rate ratios, shared by wow_flutter_consts and lfo_phase_cycles so the
+# trace-segment phase continuation can never desync from the mod curve.
+WOW_RATE_RATIO = (2, 5)
+FLUTTER_RATE_RATIO = (7, 1)
+
+
 def wow_flutter_consts(sample_rate: int, tape_age: int,
                        wow_phase0: float = 0.0, flutter_phase0: float = 0.0,
                        phase0_cycles=None):
@@ -180,8 +187,8 @@ def wow_flutter_consts(sample_rate: int, tape_age: int,
     a = max(0.0, min(1.0, tape_age / 100.0))
     wd = round_sig12_np(np.float32(0.001 + 0.006 * a))
     fd = round_sig12_np(np.float32(0.0005 + 0.003 * a))
-    wn, wm, winv = detmath.phase_ratio(2, 5, sample_rate)   # 0.4 Hz
-    fn, fm, finv = detmath.phase_ratio(7, 1, sample_rate)   # 7 Hz
+    wn, wm, winv = detmath.phase_ratio(*WOW_RATE_RATIO, sample_rate)
+    fn, fm, finv = detmath.phase_ratio(*FLUTTER_RATE_RATIO, sample_rate)
     ints = np.asarray([wn, wm, fn, fm], np.uint32)
     flts = np.asarray([winv, finv, wd, fd], np.float32)
     if phase0_cycles is not None:
@@ -201,8 +208,8 @@ def lfo_phase_cycles(sample_rate: int, sample_offset: int):
     one convention, so their curves stay bit-identical."""
     from ..ops import detmath
 
-    wn, wm, winv = detmath.phase_ratio(2, 5, sample_rate)
-    fn, fm, finv = detmath.phase_ratio(7, 1, sample_rate)
+    wn, wm, winv = detmath.phase_ratio(*WOW_RATE_RATIO, sample_rate)
+    fn, fm, finv = detmath.phase_ratio(*FLUTTER_RATE_RATIO, sample_rate)
     i = np.uint32(sample_offset % (2**32))
     pw = detmath.phase_cycles_np(i, wn, wm, np.float32(winv))
     pf = detmath.phase_cycles_np(i, fn, fm, np.float32(finv))
@@ -493,12 +500,21 @@ def render_tape(audio, params: TapeParams,
 #:   set_inertia_amount {value}        inertia amount 0-100
 #:   retime {target}                   Fit to Target Time (Tape…py:665-705)
 #:   seek {sample}                     position jump
-TRACE_OPS = frozenset({
-    "set_speed", "set_reverse", "add_marker", "remove_marker",
-    "set_markers", "set_age", "set_splice", "set_anticlick",
-    "set_anticlick_amount", "set_inertia", "set_inertia_amount",
-    "retime", "seek",
-})
+TRACE_OPS = {
+    "set_speed": ("section", "value"),
+    "set_reverse": ("section", "value"),
+    "add_marker": ("sample",),
+    "remove_marker": ("sample",),
+    "set_markers": ("markers",),
+    "set_age": ("value",),
+    "set_splice": ("value",),
+    "set_anticlick": ("value",),
+    "set_anticlick_amount": ("value",),
+    "set_inertia": ("value",),
+    "set_inertia_amount": ("value",),
+    "retime": ("target",),
+    "seek": ("sample",),
+}
 
 
 @dataclass
@@ -509,6 +525,11 @@ class TapeTrace:
     def add(self, t: float, op: str, **kw) -> "TapeTrace":
         if op not in TRACE_OPS:
             raise ValueError(f"unknown trace op {op!r}")
+        missing = [k for k in TRACE_OPS[op] if k not in kw]
+        if missing:
+            raise ValueError(
+                f"trace op {op!r} at t={t} missing required "
+                f"field(s) {missing} (got {sorted(kw)})")
         self.events.append({"t": float(t), "op": op, **kw})
         return self
 

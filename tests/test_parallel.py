@@ -177,7 +177,10 @@ def test_mxu_fft_under_sharded_vmap():
     production; here the kernel is called directly on the CPU mesh.)"""
     require_devices(8)
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older JAX
+        from jax.experimental.shard_map import shard_map
     from audio_suite_tpu.ops import mxu_fft
 
     mesh = pb.make_mesh(8)
