@@ -632,6 +632,14 @@ class ChainCfg:
     #                              pow2 FFT pad makes the window tail exact
     #                              zeros — the OA skips adding them (0 =
     #                              full L)
+    n_fft: int = 0               # exact grain FFT length: when every event
+    #                              in the program shares one true length n,
+    #                              the spectral chain runs at EXACTLY n
+    #                              (ops/exact_dft.py) — the reference's
+    #                              exact-n rfft semantics (main_v2.py:
+    #                              39-163) at any micro_ms.  0 = events
+    #                              have mixed lengths: padded-L convention
+    #                              (documented fallback)
 
 
 def chain_cfg(params: MicrosoundParams, prog: dict, ec: int,
@@ -661,7 +669,12 @@ def chain_cfg(params: MicrosoundParams, prog: dict, ec: int,
         shared and "gen_sr" in prog and "cutoff_gen" in prog
         and np.all(prog["gen_sr"] == prog["gen_sr"][0])
         and np.all(prog["cutoff_gen"] == prog["cutoff_gen"][0]))
+    n_fft = 0
+    if "n" in prog and len(prog["n"]) > 0 and \
+            bool(np.all(prog["n"] == prog["n"][0])):
+        n_fft = int(prog["n"][0])
     return ChainCfg(
+        n_fft=n_fft,
         stretch_scale=stretch_scale,
         shared_gain=shared_gain,
         oa_win=_oa_window_len(prog),
@@ -704,6 +717,7 @@ def _generate(ev: dict, cfg: ChainCfg):
     i = jnp.arange(cfg.L, dtype=jnp.int32)
     n = ev["n"]
     m = cfg.mode_id
+    nfft = cfg.n_fft or None
     if m <= 4:
         return generators.gen_basic(
             i, n, ev["seed"], ev["gen_sr"], ev["inv_gen_sr"], cfg.micro_ms, m,
@@ -712,7 +726,7 @@ def _generate(ev: dict, cfg: ChainCfg):
             ev.get("dust_k", jnp.int32(0)),
             ev.get("dust_klen", jnp.int32(8)),
             cfg.noise_tilt, cfg.ring_hz, cfg.ring_decay_ms,
-            dust_kmax=cfg.dust_kmax)
+            dust_kmax=cfg.dust_kmax, n_fft=nfft)
     if m == 5:    # Crackle / corona
         kern = generators.exp_kernel(cfg.ck_klen, 6.0)
         return generators.gen_crackle(i, n, ev["ck_pos"], ev["ck_amp"],
@@ -749,6 +763,7 @@ def _one_grain(ev: dict, cfg: ChainCfg):
     i = jnp.arange(cfg.L, dtype=jnp.int32)
     n = ev["n"]
     gsr = ev["gen_sr"]
+    nfft = cfg.n_fft or None
     x = _generate(ev, cfg)
 
     fuse = (cfg.bandlimit_on and not cfg.nl_warp_on and not cfg.cep_warp_on
@@ -757,7 +772,21 @@ def _one_grain(ev: dict, cfg: ChainCfg):
         # lowpass + stretch share the rfft domain: one spectral pass
         x = spectral.lowpass_stretch_fused(x, gsr, ev["cutoff_gen"],
                                            ev["stretch"],
-                                           roll=cfg.bandlimit_roll)
+                                           roll=cfg.bandlimit_roll,
+                                           n_fft=nfft)
+    elif nfft is not None:
+        # exact-length semantics: the WHOLE warp chain in one spectral
+        # pass at the true grain length — filter-zeroed bins stay exactly
+        # zero into the cepstral stage (spectral.grain_chain_exact)
+        x = spectral.grain_chain_exact(
+            x, gsr, nfft,
+            cutoff=ev["cutoff_gen"] if cfg.bandlimit_on else None,
+            roll=cfg.bandlimit_roll,
+            warp_power=cfg.nl_warp_power if cfg.nl_warp_on else None,
+            cep_factor=cfg.cep_factor if cfg.cep_warp_on else None,
+            lock=((cfg.pl_top_n, cfg.pl_neigh)
+                  if cfg.partial_lock_on else None),
+            stretch=ev["stretch"])
     else:
         if cfg.bandlimit_on:
             x = spectral.lowpass_fft(x, gsr, ev["cutoff_gen"],
@@ -788,7 +817,8 @@ def _one_grain(ev: dict, cfg: ChainCfg):
 
     if cfg.multiband:
         bands, unfolds, roll = cfg.multiband
-        x = spectral.multiband_unfold(x, gsr, bands, unfolds, roll_hz=roll)
+        x = spectral.multiband_unfold(x, gsr, bands, unfolds, roll_hz=roll,
+                                      n_fft=nfft)
         # unfold_reinterpret itself is the identity on samples (:489-490)
 
     return jnp.where(i < n, x, 0.0)
@@ -796,9 +826,17 @@ def _one_grain(ev: dict, cfg: ChainCfg):
 
 def _fb_imprint_scan(grains, ns, carry, cfg: ChainCfg):
     """Sequential event-to-event feedback crossfade (main_v2.py:731-734) and
-    SpectralImprint EMA (main_v2.py:565-581, 736-740) as lax.scan."""
+    SpectralImprint EMA (main_v2.py:565-581, 736-740) as lax.scan.
+
+    With cfg.n_fft the imprint transform runs at the exact grain length
+    (the reference's np.fft.rfft(x) at n = len(x)); the EMA memory lives
+    on that length's bin grid.  (The reference RESETS the memory whenever
+    the grain length changes, main_v2.py:574 — with uniform n that branch
+    never fires after the first event.)"""
     j = jnp.arange(cfg.L, dtype=jnp.int32)
-    nf = cfg.L // 2 + 1
+    from ..ops import exact_dft
+    nfft = cfg.n_fft if cfg.n_fft else cfg.L
+    nf = nfft // 2 + 1
 
     def step(c, inp):
         prev, prev_n, prev_valid, mem, mem_valid = c
@@ -809,7 +847,7 @@ def _fb_imprint_scan(grains, ns, carry, cfg: ChainCfg):
             blend = (1.0 - fb) * g + fb * prev
             g = jnp.where(prev_valid & (j < lim), blend, g)
         if cfg.imprint_on and cfg.imprint_amt > 0:
-            X = jnp.fft.rfft(g)
+            X = exact_dft.rfft_n(g, nfft)
             mag = jnp.abs(X)
             mem_new = jnp.where(mem_valid,
                                 cfg.imprint_smooth * mem
@@ -817,7 +855,7 @@ def _fb_imprint_scan(grains, ns, carry, cfg: ChainCfg):
             mag2 = ((1.0 - cfg.imprint_amt) * mag
                     + cfg.imprint_amt * mem_new)
             ph = jnp.where(mag > 0, X / (mag + 1e-30), 1.0 + 0j)
-            g2 = jnp.fft.irfft(mag2 * ph, n=cfg.L).astype(jnp.float32)
+            g2 = exact_dft.irfft_n(mag2 * ph, nfft, out_len=cfg.L)
             g2 = jnp.where(j < n, g2, 0.0)
             use = n >= 64                       # imprint gate (:572)
             g = jnp.where(use, g2, g)
@@ -857,7 +895,8 @@ def chunk_body(cfg: ChainCfg):
             x = spectral.lowpass_stretch_fused_shared(
                 raw, per_ev["gen_sr"], per_ev["cutoff_gen"],
                 per_ev["stretch"][0], roll=cfg.bandlimit_roll,
-                max_scale=cfg.stretch_scale, shared_gain=cfg.shared_gain)
+                max_scale=cfg.stretch_scale, shared_gain=cfg.shared_gain,
+                n_fft=cfg.n_fft or None)
             j2 = jnp.arange(cfg.L, dtype=jnp.int32)[None, :]
             grains = jnp.where(j2 < per_ev["n"][:, None], x, 0.0)
         else:
@@ -1128,8 +1167,9 @@ def render(params: MicrosoundParams, ir_audio=None, img_gray=None,
         cfg = chain_cfg(p, prog, event_chunk, oa=oa)
         carry = None
         if cfg.fb_on or cfg.imprint_on:
+            nf_c = (cfg.n_fft if cfg.n_fft else L) // 2 + 1
             carry = (np.zeros(L, np.float32), np.int32(0),
-                     np.bool_(False), np.zeros(L // 2 + 1, np.float32),
+                     np.bool_(False), np.zeros(nf_c, np.float32),
                      np.bool_(False))
         if len(chunks) == 1:
             carry, grain_last, stereo = _fused_fn(cfg, fx)(

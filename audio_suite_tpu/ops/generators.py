@@ -83,9 +83,8 @@ def exp_kernel_t(K: int, klen, end: float):
     return jnp.where(jnp.arange(K) < klen, k, 0.0)
 
 
-def _tilted_noise(i, n, seed, gen_sr, tilt_db_per_oct, L):
-    """Spectrally tilted Gaussian noise (main_v2.py:224-233), padded-length
-    FFT semantics.
+def _tilted_noise(i, n, seed, gen_sr, tilt_db_per_oct, L, n_fft=None):
+    """Spectrally tilted Gaussian noise (main_v2.py:224-233).
 
     Framework semantics (round 3): the SPECTRUM is drawn directly — the
     rfft of n-sample white Gaussian noise is complex Gaussian with
@@ -94,13 +93,19 @@ def _tilted_noise(i, n, seed, gen_sr, tilt_db_per_oct, L):
     rfft -> shape -> irfft; one transform instead of two, measured
     2.36 -> 1.09 ms on the [270, 32768] grain batch, tools/fft_sizes.py).
     Same counter-noise determinism (streams MAIN + TILT_IM over bin
-    indices); the NumPy oracle draws the identical spectrum."""
-    nf = L // 2 + 1
+    indices); the NumPy oracle draws the identical spectrum.
+
+    With n_fft (round 5 exact-length semantics) the spectrum is drawn on
+    the TRUE grain length's bin grid (nf = n_fft//2 + 1) and inverted at
+    exactly n_fft — matching the reference's exact-n rfft of n white
+    samples; without it, the legacy padded-length grid."""
+    nfft = int(n_fft) if n_fft is not None else L
+    nf = nfft // 2 + 1
     k = jnp.arange(nf, dtype=jnp.int32)
     wr = noise.normal(seed, k, STREAM_MAIN)
     wi = noise.normal(seed, k, STREAM_TILT_IM)
-    # f/f1 == bin index exactly (f = k*gen_sr/L, f1 = gen_sr/L), so the
-    # tilt shape is gen_sr-INDEPENDENT: one [nf] pow instead of an
+    # f/f1 == bin index exactly (f = k*gen_sr/nfft, f1 = gen_sr/nfft), so
+    # the tilt shape is gen_sr-INDEPENDENT: one [nf] pow instead of an
     # [E, nf] transcendental per event under vmap (XLA hoists ops with
     # no batched operands out of the event batch)
     r = k.astype(jnp.float32).at[0].set(1.0)
@@ -108,13 +113,13 @@ def _tilted_noise(i, n, seed, gen_sr, tilt_db_per_oct, L):
                                                        jnp.float32) / 20.0))
     g = (r ** alpha) * jnp.sqrt(jnp.float32(0.5) * n.astype(jnp.float32))
     W = jax.lax.complex(wr * g, wi * g)
-    from . import spectral
-    return spectral._irfft(W, L)
+    from . import exact_dft
+    return exact_dft.irfft_n(W, nfft, out_len=L)
 
 
 def gen_basic(i, n, seed, gen_sr, inv_gen_sr, micro_ms, mode_id: int,
               dust_pos, dust_amp, dust_k, dust_klen, noise_tilt, ring_hz,
-              ring_decay_ms, dust_kmax: int = 4096):
+              ring_decay_ms, dust_kmax: int = 4096, n_fft=None):
     """Modes of gen_basic (main_v2.py:219-269); `mode_id` is STATIC (the
     reference's gen_mode is a global render parameter, so only the selected
     branch is traced/compiled).
@@ -144,11 +149,11 @@ def gen_basic(i, n, seed, gen_sr, inv_gen_sr, micro_ms, mode_id: int,
         x = masked_conv_same(imp, exp_kernel_t(dust_kmax, dust_klen, 6.0),
                              dust_klen)
     elif mode_id == 2:    # Noise burst
-        tn = _tilted_noise(i, n, seed, gen_sr, noise_tilt, L)
+        tn = _tilted_noise(i, n, seed, gen_sr, noise_tilt, L, n_fft=n_fft)
         env2 = jnp.exp(-t / jnp.maximum(1e-6, micro_s * 0.25))
         x = tn * env2
     elif mode_id == 3:    # Skewed transient
-        tn = _tilted_noise(i, n, seed, gen_sr, noise_tilt, L)
+        tn = _tilted_noise(i, n, seed, gen_sr, noise_tilt, L, n_fft=n_fft)
         w3 = jnp.maximum(0.0, tn)
         d3 = jnp.diff(w3, prepend=w3[:1])
         env3 = jnp.exp(-t / jnp.maximum(1e-6, micro_s * 0.2))

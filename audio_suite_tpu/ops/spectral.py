@@ -1,13 +1,18 @@
 """Spectral kernels for Microsound grains — ports of the rfft-domain DSP in
 microsound_0.2.1/main_v2.py:39-163, vectorized/vmappable over grain batches.
 
-Framework semantics note: grains of different design lengths are processed
-zero-padded to a static bucket length (the FFT runs at the padded length and
-outputs are re-truncated).  The NumPy oracle uses the identical convention,
-so parity is exact; deviation from the reference's exact-length FFTs is a
-(documented, inaudible-scale) resolution difference.
+Exact-length semantics (round 5): every op takes `n_fft` — the TRUE grain
+length (static host int).  When given, the transform runs at exactly n_fft
+(ops/exact_dft.py: composite four-step / Bluestein on the MXU), the bin
+grid is n_fft's, and the reference's short-grain guards apply
+(main_v2.py:41,63,105,118,132,152: ops are identity below 8/16/64
+samples) — matching the reference's exact-n rfft bit grid at ANY micro_ms.
+Outputs are zero-padded back to the static buffer length L.
 
-All functions take true length `n` (traced) and operate on f32[L] buffers.
+With n_fft=None the legacy padded-length convention remains (FFT at the
+pow2 buffer length; documented framework semantics used by the
+mixed-length fallback until the traced-n path lands).
+
 `sr` may be traced (per-event design rates under bp_unfold automation).
 """
 from __future__ import annotations
@@ -16,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import mxu_fft
+from . import exact_dft, mxu_fft
 
 
 def _rfft(x):
@@ -41,33 +46,33 @@ def _freqs(L: int, sr):
         jnp.asarray(sr, jnp.float32) / jnp.float32(L))
 
 
-def lowpass_fft(x, sr, cutoff, roll=0.0):
-    """FFT lowpass with cosine rolloff band (main_v2.py:39-59)."""
+def lowpass_fft(x, sr, cutoff, roll=0.0, n_fft=None):
+    """FFT lowpass with cosine rolloff band (main_v2.py:39-59).  With
+    n_fft the transform and bin grid run at the exact grain length
+    (identity below 8 samples, main_v2.py:41)."""
     L = x.shape[-1]
-    nyq = 0.5 * jnp.asarray(sr, jnp.float32)
-    cutoff = jnp.clip(jnp.asarray(cutoff, jnp.float32), 1.0, nyq)
-    roll = jnp.maximum(jnp.asarray(roll, jnp.float32), 0.0)
-    X = _rfft(x)
-    f = _freqs(L, sr)
-    f0 = cutoff
-    f1 = jnp.minimum(nyq, cutoff + roll)
-    t = (f - f0) / jnp.maximum(1e-12, f1 - f0)
-    w_roll = 0.5 * (1.0 + jnp.cos(jnp.pi * jnp.clip(t, 0.0, 1.0)))
-    gain_rolloff = jnp.where(f > f1, 0.0, jnp.where(f >= f0, w_roll, 1.0))
-    gain_hard = jnp.where(f > cutoff, 0.0, 1.0)
-    gain = jnp.where(roll <= 0, gain_hard, gain_rolloff)
-    return _irfft(X * gain, L)
+    if n_fft is not None and int(n_fft) < 8:
+        return x
+    nfft = int(n_fft) if n_fft is not None else L
+    X = exact_dft.rfft_n(x, nfft)
+    gain = _lowpass_gain(nfft, sr, cutoff, roll)
+    return exact_dft.irfft_n(X * gain, nfft, out_len=L)
 
 
-def bandpass_fft(x, sr, lo, hi, roll=0.0):
-    """FFT bandpass with cosine rolloffs (main_v2.py:61-101)."""
+def bandpass_fft(x, sr, lo, hi, roll=0.0, n_fft=None):
+    """FFT bandpass with cosine rolloffs (main_v2.py:61-101).  With n_fft
+    the transform runs at the exact grain length (identity below 8
+    samples, main_v2.py:63)."""
     L = x.shape[-1]
+    if n_fft is not None and int(n_fft) < 8:
+        return x
+    nfft = int(n_fft) if n_fft is not None else L
     nyq = 0.5 * jnp.asarray(sr, jnp.float32)
     lo = jnp.maximum(0.0, jnp.asarray(lo, jnp.float32))
     hi = jnp.minimum(jnp.maximum(lo, jnp.asarray(hi, jnp.float32)), nyq)
     roll = jnp.maximum(jnp.asarray(roll, jnp.float32), 0.0)
-    X = _rfft(x)
-    f = _freqs(L, sr)
+    X = exact_dft.rfft_n(x, nfft)
+    f = _freqs(nfft, sr)
 
     # low edge (0 -> 1 over [lo-roll, lo])
     lo_f0 = jnp.maximum(0.0, lo - roll)
@@ -85,7 +90,7 @@ def bandpass_fft(x, sr, lo, hi, roll=0.0):
     g_hi_hard = jnp.where(f > hi, 0.0, 1.0)
     g_hi = jnp.where(hi < nyq, jnp.where(roll <= 0, g_hi_hard, g_hi_roll), 1.0)
 
-    y = _irfft(X * (g_lo * g_hi), L)
+    y = exact_dft.irfft_n(X * (g_lo * g_hi), nfft, out_len=L)
     return jnp.where(hi <= 0, jnp.zeros_like(y), y)
 
 
@@ -186,8 +191,10 @@ def _lerp_uniform_affine(y, scale, block: int = 512, max_scale: float = 4.0):
     return blocks.reshape(-1)[:nf]
 
 
-def fft_warp_power(x, power):
-    """Power-law frequency warp (main_v2.py:103-115).
+def fft_warp_power(x, power, n_fft=None):
+    """Power-law frequency warp (main_v2.py:103-115).  With n_fft the
+    warp grid is the exact grain length's (identity below 16 samples,
+    main_v2.py:105).
 
     The warp grid is precomputed in f64 on the host when `power` is a
     concrete config constant (it always is from the engines —
@@ -197,7 +204,10 @@ def fft_warp_power(x, power):
     (tools/tpu_parity.py "microsound warp hi-rate").  With the host
     grid only the lerp arithmetic itself remains f32."""
     L = x.shape[-1]
-    X = _rfft(x)
+    if n_fft is not None and int(n_fft) < 16:
+        return x
+    nfft = int(n_fft) if n_fft is not None else L
+    X = exact_dft.rfft_n(x, nfft)
     nf = X.shape[-1]
     if isinstance(power, (int, float, np.floating, np.integer)):
         k = np.arange(nf, dtype=np.float64)
@@ -206,13 +216,13 @@ def fft_warp_power(x, power):
         i0 = np.clip(np.floor(pos), 0.0, nf - 2).astype(np.int32)
         t = (pos - i0).astype(np.float32)   # pos in [0, kmax]: all valid
         Y = X[..., i0] * (np.float32(1.0) - t) + X[..., i0 + 1] * t
-        return _irfft(Y, L)
+        return exact_dft.irfft_n(Y, nfft, out_len=L)
     k = jnp.arange(nf, dtype=jnp.float32)   # traced fallback
     kmax = jnp.maximum(1.0, k[-1])
     u = k / kmax
     u_in = jnp.power(u, 1.0 / jnp.maximum(1e-6, jnp.asarray(power, jnp.float32)))
     Y = _interp_spectrum(X, u_in * kmax)
-    return _irfft(Y, L)
+    return exact_dft.irfft_n(Y, nfft, out_len=L)
 
 
 def _lowpass_gain(L, sr, cutoff, roll):
@@ -231,26 +241,33 @@ def _lowpass_gain(L, sr, cutoff, roll):
     return jnp.where(roll <= 0, gain_hard, gain_rolloff)
 
 
-def lowpass_stretch_fused(x, sr, cutoff, factor, roll=0.0):
+def lowpass_stretch_fused(x, sr, cutoff, factor, roll=0.0, n_fft=None):
     """lowpass_fft followed by fft_partial_stretch in ONE spectral pass
     (2 transforms instead of 4): the irfft/rfft round-trip between them is
     the identity up to f32 rounding, so fusing matches the sequential pair
     within ~1 ulp (the oracle keeps the sequential structure; parity budget
-    is -60 dBFS)."""
+    is -60 dBFS).  With n_fft both stages run on the exact grain length's
+    bin grid; the reference's guards (lowpass identity below 8, stretch
+    identity below 16) apply stage-wise."""
     L = x.shape[-1]
-    X = _rfft(x)
-    Xg = X * _lowpass_gain(L, sr, cutoff, roll)
+    if n_fft is not None and int(n_fft) < 16:
+        # stretch is identity below 16; lowpass below 8 — fall back to
+        # the unfused lowpass so the guards match the reference stagewise
+        return lowpass_fft(x, sr, cutoff, roll=roll, n_fft=n_fft)
+    nfft = int(n_fft) if n_fft is not None else L
+    X = exact_dft.rfft_n(x, nfft)
+    Xg = X * _lowpass_gain(nfft, sr, cutoff, roll)
 
     factor = jnp.asarray(factor, jnp.float32)
     inv_f = jnp.float32(1.0) / jnp.maximum(1e-12, factor)
     Y = _lerp_uniform_affine(Xg, inv_f)
     Z = jnp.where(jnp.abs(factor - 1.0) < 1e-9, Xg, Y)
-    return _irfft(Z, L)
+    return exact_dft.irfft_n(Z, nfft, out_len=L)
 
 
 def lowpass_stretch_fused_shared(x, sr_v, cutoff_v, factor, roll=0.0,
                                  block: int = 128, max_scale: float = 4.0,
-                                 shared_gain: bool = False):
+                                 shared_gain: bool = False, n_fft=None):
     """Batched lowpass_stretch_fused for a grain bank [E, L] whose stretch
     factor is SHARED across events (per-event cutoff/sr still vary).
 
@@ -270,21 +287,26 @@ def lowpass_stretch_fused_shared(x, sr_v, cutoff_v, factor, roll=0.0,
     the MXU).  One nonzero product per output row, so results stay
     bit-identical to a direct gather."""
     E, L = x.shape
+    if n_fft is not None and int(n_fft) < 16:
+        return lowpass_fft(x, sr_v[:, None] if np.ndim(sr_v) else sr_v,
+                           cutoff_v[:, None] if np.ndim(cutoff_v)
+                           else cutoff_v, roll=roll, n_fft=n_fft)
+    nfft = int(n_fft) if n_fft is not None else L
     if max_scale <= 0.5:
         # small selection window (downward stretch): double the block —
         # half the window-fetch iterations and bytes at identical einsum
         # flops (A halves, B doubles, W stays at the 256 floor)
         block = max(block, 256)
-    X = _rfft(x)
+    X = exact_dft.rfft_n(x, nfft)
     nf = X.shape[-1]
     sr_v = jnp.asarray(sr_v, jnp.float32)
     cutoff_v = jnp.asarray(cutoff_v, jnp.float32)
     if shared_gain:
         # every event shares (sr, cutoff): one [nf] curve broadcast — the
         # identical per-element arithmetic, minus the [E, nf] cos batch
-        Xg = X * _lowpass_gain(L, sr_v[0], cutoff_v[0], roll)[None, :]
+        Xg = X * _lowpass_gain(nfft, sr_v[0], cutoff_v[0], roll)[None, :]
     else:
-        gains = jax.vmap(lambda s, c: _lowpass_gain(L, s, c, roll))(
+        gains = jax.vmap(lambda s, c: _lowpass_gain(nfft, s, c, roll))(
             sr_v, cutoff_v)
         Xg = X * gains
 
@@ -335,28 +357,38 @@ def lowpass_stretch_fused_shared(x, sr_v, cutoff_v, factor, roll=0.0,
     # out: [A, E, block] -> [E, nf]
     Y = jnp.moveaxis(out, 0, 1).reshape(E, nf_pad)[:, :nf]
     Z = jnp.where(jnp.abs(factor - 1.0) < 1e-9, Xg, Y)
-    return _irfft(Z, L)
+    return exact_dft.irfft_n(Z, nfft, out_len=L)
 
 
-def fft_partial_stretch(x, factor):
+def fft_partial_stretch(x, factor, n_fft=None):
     """Linear partial stretch via spectrum resampling (main_v2.py:117-128).
     The resample positions k/factor are affine, so the gather-free blockwise
-    MXU lerp applies."""
+    MXU lerp applies.  With n_fft the bin grid is the exact grain length's
+    (identity below 16 samples, main_v2.py:118)."""
     L = x.shape[-1]
-    X = _rfft(x)
+    if n_fft is not None and int(n_fft) < 16:
+        return x
+    nfft = int(n_fft) if n_fft is not None else L
+    X = exact_dft.rfft_n(x, nfft)
     inv_f = jnp.float32(1.0) / jnp.maximum(
         1e-12, jnp.asarray(factor, jnp.float32))
     Y = _lerp_uniform_affine(X, inv_f)
-    y = _irfft(Y, L)
+    y = exact_dft.irfft_n(Y, nfft, out_len=L)
     return jnp.where(jnp.abs(jnp.asarray(factor, jnp.float32) - 1.0) < 1e-9,
                      x, y)
 
 
-def partial_lock_stretch(x, factor, top_n: int = 24, neighborhood: int = 4):
+def partial_lock_stretch(x, factor, top_n: int = 24, neighborhood: int = 4,
+                         n_fft=None):
     """Peak-locked stretch: top-N spectral peaks remapped k -> k*factor with
-    triangular spread + 0.12 dry (main_v2.py:130-148)."""
+    triangular spread + 0.12 dry (main_v2.py:130-148).  With n_fft the
+    peak grid is the exact grain length's (identity below 64 samples,
+    main_v2.py:132)."""
     L = x.shape[-1]
-    X = _rfft(x)
+    if n_fft is not None and int(n_fft) < 64:
+        return x
+    nfft = int(n_fft) if n_fft is not None else L
+    X = exact_dft.rfft_n(x, nfft)
     nf = X.shape[-1]
     mag = jnp.abs(X)
     _, rel = jax.lax.top_k(mag[1:], top_n)
@@ -371,13 +403,15 @@ def partial_lock_stretch(x, factor, top_n: int = 24, neighborhood: int = 4):
         Y = Y.at[jnp.where(ok, kk, nf)].add(
             jnp.where(ok, X[peaks] * w, 0.0), mode="drop")
     Y = Y + jnp.complex64(0.12) * X
-    y = _irfft(Y, L)
+    y = exact_dft.irfft_n(Y, nfft, out_len=L)
     return jnp.where(jnp.abs(jnp.asarray(factor, jnp.float32) - 1.0) < 1e-9,
                      x, y)
 
 
-def cepstral_warp(x, factor):
-    """Cepstral envelope warp (main_v2.py:150-163).
+def cepstral_warp(x, factor, n_fft=None):
+    """Cepstral envelope warp (main_v2.py:150-163).  With n_fft the whole
+    cepstral round-trip runs at the exact grain length (identity below 64
+    samples, main_v2.py:152).
 
     Framework semantics: the reference floors the magnitude at +1e-12
     absolute (f64).  In f32, bins the preceding filters zeroed carry FFT
@@ -387,32 +421,116 @@ def cepstral_warp(x, factor):
     max(mag, 1e-4 * peak) — a -80 dBFS spectral floor, below which the
     envelope is meaningless anyway."""
     L = x.shape[-1]
-    X = _rfft(x)
+    if n_fft is not None and int(n_fft) < 64:
+        return x
+    nfft = int(n_fft) if n_fft is not None else L
+    X = exact_dft.rfft_n(x, nfft)
     mag = jnp.abs(X)
     floor = jnp.float32(1e-4) * jnp.maximum(jnp.max(mag), 1e-30)
     logmag = jnp.log(jnp.maximum(mag, floor))
-    cep = _irfft(jax.lax.complex(logmag, jnp.zeros_like(logmag)), L)
+    cep = exact_dft.irfft_n(
+        jax.lax.complex(logmag, jnp.zeros_like(logmag)), nfft)
     if isinstance(factor, (int, float, np.floating, np.integer)):
         # static config factor: f64 host quefrency grid (same rationale
         # as fft_warp_power — f32 position division flips floor() bins)
-        pos = (np.arange(L, dtype=np.float64)
+        pos = (np.arange(nfft, dtype=np.float64)
                / max(1e-12, float(factor)))
-        valid = pos <= float(L - 1)
-        i0 = np.clip(np.floor(pos), 0.0, L - 2).astype(np.int32)
+        valid = pos <= float(nfft - 1)
+        i0 = np.clip(np.floor(pos), 0.0, nfft - 2).astype(np.int32)
         t = (pos - i0).astype(np.float32)
         cep2 = (cep[..., i0] * (np.float32(1.0) - t)
                 + cep[..., i0 + 1] * t) * valid.astype(np.float32)
     else:
-        t = jnp.arange(L, dtype=jnp.float32)
+        t = jnp.arange(nfft, dtype=jnp.float32)
         t_in = t / jnp.maximum(1e-12, jnp.asarray(factor, jnp.float32))
         cep2 = _lerp_uniform(cep, t_in)
-    logmag2 = _rfft(cep2).real
+    logmag2 = exact_dft.rfft_n(cep2, nfft).real
     mag2 = jnp.exp(logmag2)
     Y = mag2 * jnp.exp(1j * jnp.angle(X))
-    return _irfft(Y, L)
+    return exact_dft.irfft_n(Y, nfft, out_len=L)
 
 
-def multiband_unfold(x, gen_sr, bands_out_hz, unfolds, roll_hz=0.0):
+def grain_chain_exact(x, sr, n_fft: int, cutoff=None, roll=0.0,
+                      warp_power=None, cep_factor=None, lock=None,
+                      stretch=None):
+    """The full grain spectral chain (lowpass -> power warp -> cepstral
+    warp -> partial/lock stretch, main_v2.py:690-702) in ONE exact-length
+    spectral pass.
+
+    The reference round-trips irfft/rfft between stages; each round-trip
+    is the identity up to f64 eps, so chaining the spectrum-domain stages
+    directly matches it within f32 parity budgets — and keeps
+    filter-zeroed bins EXACTLY zero into the cepstral stage, which is
+    what lets the cepstral floor be the reference's literal
+    `mag = |X| + 1e-12` (main_v2.py:153-154): re-transforming in f32
+    would bury those zeros under ~1e-7-relative round-trip noise whose
+    log is backend-dependent (the old relative-floor convention, demoted
+    to the padded-L fallback).
+
+    Per-stage reference guards apply at the static n: lowpass identity
+    below 8, warps below 16/64, stretch below 16, lock below 64.
+    `lock` is (top_n, neighborhood).  Returns f32 [..., L] (padded)."""
+    L = x.shape[-1]
+    n = int(n_fft)
+    if n < 8:
+        return x
+    X = exact_dft.rfft_n(x, n)
+    nf = X.shape[-1]
+
+    if cutoff is not None:
+        X = X * _lowpass_gain(n, sr, cutoff, roll)
+
+    if warp_power is not None and n >= 16:
+        k = np.arange(nf, dtype=np.float64)
+        kmax = max(1.0, float(nf - 1))
+        pos = (k / kmax) ** (1.0 / max(1e-6, float(warp_power))) * kmax
+        i0 = np.clip(np.floor(pos), 0.0, nf - 2).astype(np.int32)
+        t = (pos - i0).astype(np.float32)
+        X = X[..., i0] * (np.float32(1.0) - t) + X[..., i0 + 1] * t
+
+    if cep_factor is not None and n >= 64:
+        mag = jnp.abs(X)
+        logmag = jnp.log(mag + jnp.float32(1e-12))   # main_v2.py:153-154
+        cep = exact_dft.irfft_n(
+            jax.lax.complex(logmag, jnp.zeros_like(logmag)), n)
+        pos = np.arange(n, dtype=np.float64) / max(1e-12, float(cep_factor))
+        valid = pos <= float(n - 1)
+        i0 = np.clip(np.floor(pos), 0.0, n - 2).astype(np.int32)
+        t = (pos - i0).astype(np.float32)
+        cep2 = (cep[..., i0] * (np.float32(1.0) - t)
+                + cep[..., i0 + 1] * t) * valid.astype(np.float32)
+        logmag2 = exact_dft.rfft_n(cep2, n).real
+        mag2 = jnp.exp(logmag2)
+        ph = jnp.where(mag > 0, X / (mag + 1e-30), 1.0 + 0j)
+        X = mag2 * ph
+
+    if lock is not None and n >= 64:
+        top_n, neigh = lock
+        factor = jnp.asarray(stretch, jnp.float32)
+        mag = jnp.abs(X)
+        _, rel = jax.lax.top_k(mag[1:], top_n)
+        peaks = rel.astype(jnp.int32) + 1
+        k2 = jnp.round(peaks.astype(jnp.float32) * factor).astype(jnp.int32)
+        Y = jnp.zeros_like(X)
+        for d in range(-neigh, neigh + 1):
+            w = jnp.float32(1.0 - (abs(d) / (neigh + 1)))
+            kk = k2 + d
+            ok = (kk >= 1) & (kk < nf)
+            Y = Y.at[jnp.where(ok, kk, nf)].add(
+                jnp.where(ok, X[peaks] * w, 0.0), mode="drop")
+        Y = Y + jnp.complex64(0.12) * X
+        X = jnp.where(jnp.abs(factor - 1.0) < 1e-9, X, Y)
+    elif stretch is not None and n >= 16:
+        factor = jnp.asarray(stretch, jnp.float32)
+        inv_f = jnp.float32(1.0) / jnp.maximum(1e-12, factor)
+        Y = _lerp_uniform_affine(X, inv_f)
+        X = jnp.where(jnp.abs(factor - 1.0) < 1e-9, X, Y)
+
+    return exact_dft.irfft_n(X, n, out_len=L)
+
+
+def multiband_unfold(x, gen_sr, bands_out_hz, unfolds, roll_hz=0.0,
+                     n_fft=None):
     """Multi-band unfold (main_v2.py:493-500): each output band (lo,hi) is
     extracted at the design rate at (lo*u, hi*u) and reinterpreted at base_sr
     (reinterpretation itself is metadata — unfold_reinterpret main_v2.py:489
@@ -420,7 +538,8 @@ def multiband_unfold(x, gen_sr, bands_out_hz, unfolds, roll_hz=0.0):
     out = None
     for (lo_out, hi_out), u in zip(bands_out_hz, unfolds):
         band = bandpass_fft(x, gen_sr, float(lo_out) * float(u),
-                            float(hi_out) * float(u), roll=roll_hz)
+                            float(hi_out) * float(u), roll=roll_hz,
+                            n_fft=n_fft)
         out = band if out is None else out + band
     return out if out is not None else x
 

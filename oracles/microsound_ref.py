@@ -49,21 +49,27 @@ def _exp_kernel(K, end):
     return np.exp(-np.linspace(0.0, end, K))
 
 
-def _tilted_noise(i, n, seed, gen_sr, tilt, L):
+def _tilted_noise(i, n, seed, gen_sr, tilt, L, n_fft=0):
     # framework semantics (round 3): the spectrum is drawn directly —
     # complex Gaussian with component variance n/2 (the rfft distribution
-    # of n-sample white noise) — mirroring ops/generators._tilted_noise
-    nf = L // 2 + 1
+    # of n-sample white noise) — mirroring ops/generators._tilted_noise.
+    # With n_fft (round 5) the spectrum lives on the TRUE grain length's
+    # bin grid, matching the reference's exact-n rfft (main_v2.py:224-233).
+    nfft = int(n_fft) if n_fft else L
+    nf = nfft // 2 + 1
     k = np.arange(nf)
     wr = noise.normal_np(seed, k, STREAM_MAIN).astype(np.float64)
     wi = noise.normal_np(seed, k, STREAM_TILT_IM).astype(np.float64)
-    f = k * (gen_sr / L)
+    f = k * (gen_sr / nfft)
     if f.size > 1:
         f[0] = f[1]
     alpha = np.log2(10.0 ** (tilt / 20.0))
     shape = (f / max(1e-12, f[1])) ** alpha
     g = shape * np.sqrt(0.5 * n)
-    return np.fft.irfft((wr + 1j * wi) * g, n=L)
+    y = np.fft.irfft((wr + 1j * wi) * g, n=nfft)
+    if nfft < L:
+        y = np.concatenate([y, np.zeros(L - nfft)])
+    return y
 
 
 def _generate(e, cfg, prog, idx):
@@ -90,10 +96,12 @@ def _generate(e, cfg, prog, idx):
         ker = np.exp(-6.0 * np.arange(klen) / max(1, klen - 1))
         x = _conv_same_masked(imp, ker, klen)
     elif m == 2:
-        w = _tilted_noise(i, n, seed, gsr, cfg.noise_tilt, L)
+        w = _tilted_noise(i, n, seed, gsr, cfg.noise_tilt, L,
+                          n_fft=cfg.n_fft)
         x = w * np.exp(-t / max(1e-6, micro_s * 0.25))
     elif m == 3:
-        w = _tilted_noise(i, n, seed, gsr, cfg.noise_tilt, L)
+        w = _tilted_noise(i, n, seed, gsr, cfg.noise_tilt, L,
+                          n_fft=cfg.n_fft)
         w = np.maximum(0.0, w)
         d = np.diff(w, prepend=w[0])
         x = d * np.exp(-t / max(1e-6, micro_s * 0.2))
@@ -196,13 +204,35 @@ def _freqs(L, sr):
     return np.arange(L // 2 + 1) * (sr / L)
 
 
-def _lowpass_fft(x, sr, cutoff, roll):
-    L = len(x)
+def _pad_back(y, L):
+    return y if len(y) >= L else np.concatenate([y, np.zeros(L - len(y))])
+
+
+def _lowpass_gain_np(nfft, sr, cutoff, roll):
+    """The lowpass gain curve on the exact-n bin grid (main_v2.py:39-59),
+    mirroring spectral._lowpass_gain."""
     nyq = 0.5 * sr
     cutoff = float(np.clip(np.float32(cutoff), 1.0, np.float32(nyq)))
     roll = max(roll, 0.0)
-    X = np.fft.rfft(x)
-    f = _freqs(L, sr)
+    f = _freqs(nfft, sr)
+    if roll <= 0:
+        return np.where(f > cutoff, 0.0, 1.0)
+    f1 = min(nyq, cutoff + roll)
+    t = (f - cutoff) / max(1e-12, f1 - cutoff)
+    w = 0.5 * (1.0 + np.cos(np.pi * np.clip(t, 0.0, 1.0)))
+    return np.where(f > f1, 0.0, np.where(f >= cutoff, w, 1.0))
+
+
+def _lowpass_fft(x, sr, cutoff, roll, n_fft=0):
+    L = len(x)
+    nfft = int(n_fft) if n_fft else L
+    if n_fft and nfft < 8:          # reference guard (main_v2.py:41)
+        return x
+    nyq = 0.5 * sr
+    cutoff = float(np.clip(np.float32(cutoff), 1.0, np.float32(nyq)))
+    roll = max(roll, 0.0)
+    X = np.fft.rfft(x[:nfft])
+    f = _freqs(nfft, sr)
     if roll <= 0:
         gain = np.where(f > cutoff, 0.0, 1.0)
     else:
@@ -210,19 +240,22 @@ def _lowpass_fft(x, sr, cutoff, roll):
         t = (f - cutoff) / max(1e-12, f1 - cutoff)
         w = 0.5 * (1.0 + np.cos(np.pi * np.clip(t, 0.0, 1.0)))
         gain = np.where(f > f1, 0.0, np.where(f >= cutoff, w, 1.0))
-    return np.fft.irfft(X * gain, n=L)
+    return _pad_back(np.fft.irfft(X * gain, n=nfft), L)
 
 
-def _bandpass_fft(x, sr, lo, hi, roll):
+def _bandpass_fft(x, sr, lo, hi, roll, n_fft=0):
     L = len(x)
+    nfft = int(n_fft) if n_fft else L
+    if n_fft and nfft < 8:          # reference guard (main_v2.py:63)
+        return x
     nyq = 0.5 * sr
     lo = max(0.0, lo)
     hi = min(max(lo, hi), nyq)
     roll = max(roll, 0.0)
     if hi <= 0:
         return np.zeros_like(x)
-    X = np.fft.rfft(x)
-    f = _freqs(L, sr)
+    X = np.fft.rfft(x[:nfft])
+    f = _freqs(nfft, sr)
     if lo <= 0:
         g_lo = np.ones_like(f)
     elif roll <= 0:
@@ -241,7 +274,7 @@ def _bandpass_fft(x, sr, lo, hi, roll):
         t = (f - hi) / max(1e-12, f1 - hi)
         w = 0.5 * (1.0 + np.cos(np.pi * np.clip(t, 0.0, 1.0)))
         g_hi = np.where(f > f1, 0.0, np.where(f >= hi, w, 1.0))
-    return np.fft.irfft(X * g_lo * g_hi, n=L)
+    return _pad_back(np.fft.irfft(X * g_lo * g_hi, n=nfft), L)
 
 
 def _interp_spec(X, k_in):
@@ -255,50 +288,100 @@ def _one_grain(e, cfg, prog, idx):
     i = np.arange(cfg.L)
     n = int(e["n"])
     gsr = float(e["gen_sr"])
+    nfft = int(cfg.n_fft) if cfg.n_fft else cfg.L
+    exact = bool(cfg.n_fft)
     x = _generate(e, cfg, prog, idx)
-
-    if cfg.bandlimit_on:
-        x = _lowpass_fft(x, gsr, float(e["cutoff_gen"]), cfg.bandlimit_roll)
-    if cfg.nl_warp_on:
-        X = np.fft.rfft(x)
-        k = np.arange(X.size)
-        kmax = max(1.0, k[-1])
-        u = k / kmax
-        u_in = u ** (1.0 / max(1e-6, cfg.nl_warp_power))
-        x = np.fft.irfft(_interp_spec(X, u_in * kmax), n=cfg.L)
-    if cfg.cep_warp_on:
-        X = np.fft.rfft(x)
-        mag = np.abs(X)
-        floor = 1e-4 * max(np.max(mag), 1e-30)   # relative spectral floor
-        cep = np.fft.irfft(np.log(np.maximum(mag, floor)), n=cfg.L)
-        tt = np.arange(cfg.L)
-        cep2 = np.interp(tt / max(1e-12, cfg.cep_factor), tt, cep,
-                         left=0.0, right=0.0)
-        logmag2 = np.fft.rfft(cep2).real
-        x = np.fft.irfft(np.exp(logmag2) * np.exp(1j * np.angle(X)), n=cfg.L)
-
     stretch = float(e["stretch"])
-    if abs(stretch - 1.0) >= 1e-9:
-        X = np.fft.rfft(x)
-        if cfg.partial_lock_on:
+
+    if exact:
+        # ONE spectral pass at the true grain length, mirroring
+        # spectral.grain_chain_exact (the engine's exact-length chain);
+        # the reference's irfft/rfft round-trips between stages are the
+        # identity up to eps, and the fused form keeps filter-zeroed bins
+        # exactly zero into the cepstral stage.
+        if nfft >= 8:
+            X = np.fft.rfft(x[:nfft])
             nf = X.size
-            mag = np.abs(X)
-            # jax.lax.top_k breaks ties toward the lower index — mirror with
-            # a stable descending argsort
-            peaks = np.argsort(-mag[1:], kind="stable")[:cfg.pl_top_n] + 1
-            Y = np.zeros_like(X)
-            k2 = np.round(peaks * np.float32(stretch)).astype(np.int64)
-            for d in range(-cfg.pl_neigh, cfg.pl_neigh + 1):
-                w = 1.0 - abs(d) / (cfg.pl_neigh + 1)
-                kk = k2 + d
-                ok = (kk >= 1) & (kk < nf)
-                np.add.at(Y, kk[ok], X[peaks[ok]] * np.float32(w))
-            Y = Y + 0.12 * X
-            x = np.fft.irfft(Y, n=cfg.L)
-        else:
+            if cfg.bandlimit_on:
+                X = X * _lowpass_gain_np(nfft, gsr, float(e["cutoff_gen"]),
+                                         cfg.bandlimit_roll)
+            if cfg.nl_warp_on and nfft >= 16:
+                k = np.arange(nf)
+                kmax = max(1.0, float(nf - 1))
+                u_in = (k / kmax) ** (1.0 / max(1e-6, cfg.nl_warp_power))
+                X = _interp_spec(X, u_in * kmax)
+            if cfg.cep_warp_on and nfft >= 64:
+                mag = np.abs(X)
+                logmag = np.log(mag + 1e-12)      # main_v2.py:153-154
+                cep = np.fft.irfft(logmag, n=nfft)
+                tt = np.arange(nfft)
+                cep2 = np.interp(tt / max(1e-12, cfg.cep_factor), tt, cep,
+                                 left=0.0, right=0.0)
+                logmag2 = np.fft.rfft(cep2).real
+                ph = np.where(mag > 0, X / (mag + 1e-30), 1.0 + 0j)
+                X = np.exp(logmag2) * ph
+            if abs(stretch - 1.0) >= 1e-9:
+                if cfg.partial_lock_on and nfft >= 64:
+                    mag = np.abs(X)
+                    peaks = np.argsort(-mag[1:],
+                                       kind="stable")[:cfg.pl_top_n] + 1
+                    Y = np.zeros_like(X)
+                    k2 = np.round(peaks
+                                  * np.float32(stretch)).astype(np.int64)
+                    for d in range(-cfg.pl_neigh, cfg.pl_neigh + 1):
+                        w = 1.0 - abs(d) / (cfg.pl_neigh + 1)
+                        kk = k2 + d
+                        ok = (kk >= 1) & (kk < nf)
+                        np.add.at(Y, kk[ok], X[peaks[ok]] * np.float32(w))
+                    X = Y + 0.12 * X
+                elif not cfg.partial_lock_on and nfft >= 16:
+                    k = np.arange(nf)
+                    X = _interp_spec(X, k / max(1e-12, stretch))
+            x = _pad_back(np.fft.irfft(X, n=nfft), cfg.L)
+    else:
+        if cfg.bandlimit_on:
+            x = _lowpass_fft(x, gsr, float(e["cutoff_gen"]),
+                             cfg.bandlimit_roll)
+        if cfg.nl_warp_on:
+            X = np.fft.rfft(x)
             k = np.arange(X.size)
-            x = np.fft.irfft(_interp_spec(X, k / max(1e-12, stretch)),
+            kmax = max(1.0, k[-1])
+            u = k / kmax
+            u_in = u ** (1.0 / max(1e-6, cfg.nl_warp_power))
+            x = np.fft.irfft(_interp_spec(X, u_in * kmax), n=cfg.L)
+        if cfg.cep_warp_on:
+            X = np.fft.rfft(x)
+            mag = np.abs(X)
+            floor = 1e-4 * max(np.max(mag), 1e-30)  # relative spectral floor
+            cep = np.fft.irfft(np.log(np.maximum(mag, floor)), n=cfg.L)
+            tt = np.arange(cfg.L)
+            cep2 = np.interp(tt / max(1e-12, cfg.cep_factor), tt, cep,
+                             left=0.0, right=0.0)
+            logmag2 = np.fft.rfft(cep2).real
+            x = np.fft.irfft(np.exp(logmag2) * np.exp(1j * np.angle(X)),
                              n=cfg.L)
+
+        if abs(stretch - 1.0) >= 1e-9:
+            X = np.fft.rfft(x)
+            if cfg.partial_lock_on:
+                nf = X.size
+                mag = np.abs(X)
+                # jax.lax.top_k breaks ties toward the lower index — mirror
+                # with a stable descending argsort
+                peaks = np.argsort(-mag[1:], kind="stable")[:cfg.pl_top_n] + 1
+                Y = np.zeros_like(X)
+                k2 = np.round(peaks * np.float32(stretch)).astype(np.int64)
+                for d in range(-cfg.pl_neigh, cfg.pl_neigh + 1):
+                    w = 1.0 - abs(d) / (cfg.pl_neigh + 1)
+                    kk = k2 + d
+                    ok = (kk >= 1) & (kk < nf)
+                    np.add.at(Y, kk[ok], X[peaks[ok]] * np.float32(w))
+                Y = Y + 0.12 * X
+                x = np.fft.irfft(Y, n=cfg.L)
+            else:
+                k = np.arange(X.size)
+                x = np.fft.irfft(_interp_spec(X, k / max(1e-12, stretch)),
+                                 n=cfg.L)
 
     if cfg.res_on and n >= 32:
         t = i / gsr
@@ -334,7 +417,7 @@ def _one_grain(e, cfg, prog, idx):
         bands, unfolds, roll = cfg.multiband
         acc = None
         for (lo, hi), u in zip(bands, unfolds):
-            b = _bandpass_fft(x, gsr, lo * u, hi * u, roll)
+            b = _bandpass_fft(x, gsr, lo * u, hi * u, roll, n_fft=cfg.n_fft)
             acc = b if acc is None else acc + b
         x = acc
 
@@ -369,7 +452,8 @@ def render_ref(params, prog, ir_audio=None):
                 lim = min(n, prev_n)
                 g[:lim] = (1.0 - cfg.fb_amt) * g[:lim] + cfg.fb_amt * prev[:lim]
             if cfg.imprint_on and cfg.imprint_amt > 0 and n >= 64:
-                X = np.fft.rfft(g)
+                nfft_im = int(cfg.n_fft) if cfg.n_fft else L
+                X = np.fft.rfft(g[:nfft_im])
                 mag = np.abs(X)
                 if mem is None:
                     mem = mag.copy()
@@ -378,7 +462,7 @@ def render_ref(params, prog, ir_audio=None):
                         + (1.0 - cfg.imprint_smooth) * mag
                 mag2 = (1.0 - cfg.imprint_amt) * mag + cfg.imprint_amt * mem
                 ph = np.where(mag > 0, X / (mag + 1e-30), 1.0 + 0j)
-                g = np.fft.irfft(mag2 * ph, n=L)
+                g = _pad_back(np.fft.irfft(mag2 * ph, n=nfft_im), L)
                 g[n:] = 0.0
             prev = g.copy()
             prev_n = n

@@ -674,6 +674,16 @@ def _ms_shim_factory(p, mode: str):
     E0 = int(p.max_grains)
     event_seeds = set(range(S, S + max(E0, 256)))
     L = int(prog.get("L", 2048))
+    # exact-length semantics (round 5): with a uniform true grain length
+    # the engine draws the tilt-noise spectrum on the n-grid (the rfft of
+    # n white samples) — the shim must hand the reference that same white
+    # noise, i.e. irfft of the drawn spectrum AT n.  Mixed-length programs
+    # keep the padded-L grid (the engine's documented fallback).
+    ns_arr = prog.get("n")
+    n_tilt = L
+    if ns_arr is not None and len(ns_arr) > 0 and \
+            bool(np.all(ns_arr == ns_arr[0])):
+        n_tilt = int(ns_arr[0])
 
     def normals(ev_seed, stream, count):
         return noise.normal_np(np.uint32(ev_seed),
@@ -690,12 +700,12 @@ def _ms_shim_factory(p, mode: str):
                            normals(ev, STREAM_MAIN, nn))
         if mode in ("Noise burst", "Skewed transient"):
             def timenoise(g, c, nn):
-                nf = L // 2 + 1
+                base = n_tilt if nn <= n_tilt else nn
+                nf = base // 2 + 1
                 wr = normals(ev, STREAM_MAIN, nf)
                 wi = normals(ev, STREAM_TILT_IM, nf)
-                W = (wr + 1j * wi) * np.sqrt(0.5 * L)
-                return np.fft.irfft(W, n=L)[:nn] if nn <= L else \
-                    np.fft.irfft(W, n=nn)
+                W = (wr + 1j * wi) * np.sqrt(0.5 * base)
+                return np.fft.irfft(W, n=base)[:nn]
             return ShimGen(ev, standard_normal=timenoise)
         if mode == "Resonant strike":
             return ShimGen(ev, standard_normal=lambda g, c, nn:
@@ -802,6 +812,79 @@ def crossval_microsound_e2e(modes=None) -> list[Row]:
                      np.asarray(fw_out), ref_out, bound=-55.0,
                      note="resonator sign(x) gate; measured"))
 
+    return rows
+
+
+def _ms_e2e_row(name, p, ir_in=None, bound=-60.0, note="") -> Row:
+    """One framework-vs-literal-reference render comparison with the
+    counter-noise injection shim."""
+    from audio_suite_tpu.models import microsound as ms
+    factory = _ms_shim_factory(p, p.gen_mode)
+    proxy = _NpProxy(types.SimpleNamespace(default_rng=factory))
+    ref = load_ref_microsound(np_proxy=proxy)
+    ref_out, _ = ref["render"](_ref_params_dict(p, ir_audio=ir_in))
+    fw_out, _ = ms.render(p, ir_audio=ir_in)
+    return _row(name, np.asarray(fw_out), ref_out, bound=bound, note=note)
+
+
+#: reference presets driven at their OWN micro_ms (non-pow2 grain lengths)
+#: — gen_mode-diverse, no bp_unfold (uniform n); (file, bound, note)
+_EXACT_PRESETS = [
+    ("basinski_melodic_loop.json", -60.0, ""),      # Gaussian click+imprint
+    ("closed_curve_air.json", -25.0,
+     "cep-warp phase of filter-zeroed bins; chaotic in the reference "
+     "(f64 roundtrip noise angles) — mag envelope matches to 3e-4; "
+     "measured"),                                    # Noise burst + cep
+    ("friction_lattice.json", -40.0,
+     "stick-slip f32 branch flips; measured"),      # Stick-slip + waveguide
+    ("micro_carillon.json", -60.0, ""),             # Wavelet atoms
+    ("melodic_dust_chime.json", -60.0, ""),         # Crackle / corona
+    ("room_as_particle.json", -60.0, ""),           # IR fragment + imprint
+    ("infra_tone_lattice.json", -55.0,
+     "resonator sign(x) gate; measured"),           # Resonant strike + res
+]
+
+
+def crossval_microsound_e2e_exactlen(presets=None) -> list[Row]:
+    """Exact-length e2e rows (round 5): the engine's spectral chain runs at
+    the TRUE grain length (ops/exact_dft.py), so renders are compared at
+    REFERENCE-DEFAULT micro_ms values — non-pow2 grain lengths the padded-L
+    convention could not reproduce (its broadband delta measured -20.6
+    dBFS; see the demoted convention row)."""
+    import json as _json
+    from audio_suite_tpu.models import microsound as ms
+    rows: list[Row] = []
+
+    # reference-default micro_ms (1.25 ms -> n=80 at gen_sr 64 kHz) and the
+    # previously-documented -20.6 dBFS case (n=1500, L=2048)
+    for mode, micro_ms, tag in [
+            ("Noise burst", 1.25, "default micro_ms, n=80"),
+            ("Gaussian click", 1.25, "default micro_ms, n=80"),
+            ("Noise burst", 1000.0 * 1500 / 64000.0,
+             "n=1500 — the old padded-L -20.6 dBFS case"),
+            ("Skewed transient", 1000.0 * 1500 / 64000.0, "n=1500"),
+    ]:
+        p = _ms_params(mode, micro_ms=micro_ms, partial_stretch=1.5)
+        rows.append(_ms_e2e_row(
+            f"microsound e2e exact-n [{mode}, {tag}]", p))
+
+    preset_dir = os.path.join(REF, "microsound_0.2.1", "presets")
+    for fname, bound, note in (presets or _EXACT_PRESETS):
+        with open(os.path.join(preset_dir, fname)) as f:
+            d = _json.load(f)
+        # shorten for runtime; keep the preset's own micro_ms / gen chain
+        d.update(out_dur_s=0.5, max_grains=48, seed=500,
+                 bp_density="", bp_cutoff="", bp_stretch="", bp_unfold="")
+        p = ms.MicrosoundParams.from_dict(d)
+        ir_in = None
+        if p.gen_mode == "IR fragment":
+            rngi = np.random.default_rng(3)
+            ir_in = (np.exp(-np.linspace(0, 7, 1200))
+                     * rngi.standard_normal(1200)).astype(np.float64)
+        rows.append(_ms_e2e_row(
+            f"microsound e2e preset [{fname.removesuffix('.json')}, "
+            f"micro_ms={d.get('micro_ms')}]", p, ir_in=ir_in,
+            bound=bound, note=note))
     return rows
 
 
@@ -2043,6 +2126,10 @@ def main():
     if args.section in ("all", "microsound"):
         failures += print_rows(crossval_microsound_e2e(),
                                "Microsound e2e vs literal reference")
+    if args.section in ("all", "microsound", "exactlen"):
+        failures += print_rows(
+            crossval_microsound_e2e_exactlen(),
+            "Microsound e2e EXACT-LENGTH (reference-default micro_ms)")
     if args.section in ("all", "tape"):
         failures += print_rows(crossval_tape(),
                                "TapeTUC vs literal reference")
