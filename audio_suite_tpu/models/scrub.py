@@ -201,17 +201,21 @@ _J_STREAM = 7  # counter-noise stream for stretch jitter
 def _mod_consts(sr: float) -> dict:
     """Shared constants for the device/NumPy increment twins.  LFO phases
     use detmath.phase_ratio integer reduction (exact at any sample index;
-    an f32 arange degrades past 2**24 samples)."""
+    an f32 arange degrades past 2**24 samples).  Depths are carried as
+    hi/lo 12-bit pairs (fixq.sig12_pair) so the LFO contribution reaches
+    ~24-bit precision while every product stays exact in f32: a single
+    q12 depth*sin cost 1.4e-2 samples of position drift over the 30 s
+    bench config (-55 dBFS vs the literal reference); the hi/lo form
+    measures under the -60 budget at bench length."""
     if float(sr) != float(int(sr)):
         raise ValueError("scrub requires an integer sample rate")
     wn, wm, winv = detmath.phase_ratio(1, 2, int(sr))    # 0.5 Hz wow
     fn, fm, finv = detmath.phase_ratio(6, 1, int(sr))    # 6 Hz flutter
+    wdh, wdl = fixq.sig12_pair_np(np.float32(WOW_DEPTH))
+    fdh, fdl = fixq.sig12_pair_np(np.float32(FLUTTER_DEPTH))
     return {
         "ints": np.asarray([wn, wm, fn, fm], np.uint32),
-        "flts": np.asarray([winv, finv,
-                            round_sig12_np(np.float32(WOW_DEPTH)),
-                            round_sig12_np(np.float32(FLUTTER_DEPTH))],
-                           np.float32),
+        "flts": np.asarray([winv, finv, wdh, fdh, wdl, fdl], np.float32),
     }
 
 
@@ -221,11 +225,15 @@ def _inc_np(base_inc_q, js_q, seed, bs, consts):
     T = nb * bs
     i = np.arange(T, dtype=np.uint32)
     ci, cf_ = consts["ints"], consts["flts"]
-    sinw = round_sig12_np(detmath.sin_cycles_np(
+    swh, swl = fixq.sig12_pair_np(detmath.sin_cycles_precise_np(
         detmath.phase_cycles_np(i, ci[0], ci[1], cf_[0])))
-    sinf = round_sig12_np(detmath.sin_cycles_np(
+    sfh, sfl = fixq.sig12_pair_np(detmath.sin_cycles_precise_np(
         detmath.phase_cycles_np(i, ci[2], ci[3], cf_[1])))
-    sf = np.float32(1.0) + cf_[2] * sinw + cf_[3] * sinf
+    # hi/lo piece products are all exact in f32 (12x12-bit significands),
+    # so this sum is FMA-safe; the dropped lo*lo term is < 2**-24 relative
+    wow = cf_[2] * swh + cf_[2] * swl + cf_[4] * swh
+    flut = cf_[3] * sfh + cf_[3] * sfl + cf_[5] * sfh
+    sf = np.float32(1.0) + wow + flut
     nz = round_sig12_np(noise.normal_np(np.uint32(seed), i,
                                         np.uint32(_J_STREAM)))
     jf = np.float32(1.0) + np.repeat(js_q, bs) * nz
@@ -239,11 +247,13 @@ def _inc_device(base_inc_q, js_q, seed, bs: int, consts):
     T = nb * bs
     i = jnp.arange(T, dtype=jnp.uint32)
     ci, cf_ = consts
-    sinw = round_sig12(detmath.sin_cycles(
+    swh, swl = fixq.sig12_pair(detmath.sin_cycles_precise(
         detmath.phase_cycles(i, ci[0], ci[1], cf_[0])))
-    sinf = round_sig12(detmath.sin_cycles(
+    sfh, sfl = fixq.sig12_pair(detmath.sin_cycles_precise(
         detmath.phase_cycles(i, ci[2], ci[3], cf_[1])))
-    sf = jnp.float32(1.0) + cf_[2] * sinw + cf_[3] * sinf
+    wow = cf_[2] * swh + cf_[2] * swl + cf_[4] * swh
+    flut = cf_[3] * sfh + cf_[3] * sfl + cf_[5] * sfh
+    sf = jnp.float32(1.0) + wow + flut
     nz = round_sig12(noise.normal(jnp.uint32(seed), i, jnp.uint32(_J_STREAM)))
     jf = jnp.float32(1.0) + jnp.repeat(js_q, bs) * nz
     inc_f = jnp.repeat(base_inc_q, bs) * (sf * jf)

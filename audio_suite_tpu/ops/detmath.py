@@ -81,6 +81,63 @@ def sin_cycles_np(x):
                              np.where(m == 2, -sp, -cp))).astype(np.float32)
 
 
+def sin_cycles_precise(x):
+    """sin(2*pi*x) deterministic across NumPy/XLA/C++ to the FULL f32
+    result (not just 12 bits): every multiply in the Horner recurrence
+    takes two <=12-bit-significand operands (fixq.sig12_pair splits), so
+    each product is exact in f32 and XLA's FMA contraction cannot change
+    any rounding.  Accuracy ~2**-24 relative (the pair splits drop the
+    lo*lo cross terms).  Use when a consumer needs more than the q12
+    precision of round_sig12(sin_cycles(x)) while keeping bit-identical
+    host/device twins — e.g. the scrub LFO, whose q12 curve integrated
+    -55 dBFS of position drift over the 30 s bench config."""
+    from .fixq import sig12_pair
+    x = jnp.asarray(x, jnp.float32)
+    x4 = x * jnp.float32(4.0)                   # exact
+    q = jnp.rint(x4)
+    v = (x4 - q) * jnp.float32(0.25)            # exact; |v| <= 1/8
+    m = q.astype(jnp.int32) & 3
+    zh, zl = sig12_pair(v * v)
+    sp = _S32[4]
+    for c in (_S32[3], _S32[2], _S32[1], _S32[0]):
+        th, tl = sig12_pair(sp)
+        sp = c + (zh * th + zh * tl + zl * th)
+    vh, vl = sig12_pair(v)
+    ph, pl = sig12_pair(sp)
+    sp = vh * ph + vh * pl + vl * ph
+    cp = _C32[4]
+    for c in (_C32[3], _C32[2], _C32[1], _C32[0]):
+        th, tl = sig12_pair(cp)
+        cp = c + (zh * th + zh * tl + zl * th)
+    return jnp.where(m == 0, sp,
+                     jnp.where(m == 1, cp,
+                               jnp.where(m == 2, -sp, -cp)))
+
+
+def sin_cycles_precise_np(x):
+    from .fixq import sig12_pair_np
+    x = np.asarray(x, np.float32)
+    x4 = x * np.float32(4.0)
+    q = np.rint(x4)
+    v = ((x4 - q) * np.float32(0.25)).astype(np.float32)
+    m = q.astype(np.int64).astype(np.int32) & 3
+    zh, zl = sig12_pair_np((v * v).astype(np.float32))
+    sp = np.full_like(v, _S32[4])
+    for c in (_S32[3], _S32[2], _S32[1], _S32[0]):
+        th, tl = sig12_pair_np(sp)
+        sp = (c + (zh * th + zh * tl + zl * th)).astype(np.float32)
+    vh, vl = sig12_pair_np(v)
+    ph, pl = sig12_pair_np(sp)
+    sp = (vh * ph + vh * pl + vl * ph).astype(np.float32)
+    cp = np.full_like(v, _C32[4])
+    for c in (_C32[3], _C32[2], _C32[1], _C32[0]):
+        th, tl = sig12_pair_np(cp)
+        cp = (c + (zh * th + zh * tl + zl * th)).astype(np.float32)
+    return np.where(m == 0, sp,
+                    np.where(m == 1, cp,
+                             np.where(m == 2, -sp, -cp))).astype(np.float32)
+
+
 def cos_cycles(x):
     return sin_cycles(jnp.asarray(x, jnp.float32) + jnp.float32(0.25))
 

@@ -496,3 +496,24 @@ def round_sig12_np(x):
     b = x.view(np.int32)
     b = ((b + _SIG_ROUND) & _SIG_MASK).astype(np.int32)
     return b.view(np.float32)
+
+
+def sig12_pair(x):
+    """Split f32 x into (hi, lo) 12-bit-significand pieces with
+    hi + lo ≈ x to ~24 bits.  hi = round_sig12(x); the residual x - hi is
+    exact in f32 (Sterbenz: hi is within 2**-12 relative of x), and lo is
+    its 12-bit rounding.  Any product of two such pieces has a <= 24-bit
+    significand, i.e. is EXACT in f32 — so sums of piece products are
+    FMA-contraction-safe (fused and unfused round identically on every
+    backend) while carrying twice the precision of a single q12 value."""
+    x = jnp.asarray(x, jnp.float32)
+    hi = round_sig12(x)
+    lo = round_sig12(x - hi)
+    return hi, lo
+
+
+def sig12_pair_np(x):
+    x = np.asarray(x, np.float32)
+    hi = round_sig12_np(x)
+    lo = round_sig12_np((x - hi).astype(np.float32))
+    return hi, lo

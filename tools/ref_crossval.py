@@ -994,14 +994,24 @@ def _fw_tape_i16(audio, params, T):
     return np.trunc(np.clip(y, -1.0, 1.0) * 32767.0) / 32767.0
 
 
-def crossval_tape() -> list[Row]:
+def crossval_tape(bench_seconds: float = 0.0) -> list[Row]:
+    """`bench_seconds > 0` switches to the BENCH-LENGTH regime (VERDICT r4
+    item 2): a bench-config-1-scale source (3 min) driven for the full
+    duration, raw 12-bit mod convention (no injection), so the mod-curve
+    drift integral is measured where the bench actually scores rather
+    than at 1 s. Emits only the bench rows in that mode."""
     from audio_suite_tpu.models import tape as fw_tape
     rows: list[Row] = []
     sr = 48000
-    n = 30000
+    if bench_seconds > 0:
+        T = int(bench_seconds * sr)
+        n = T                          # 3-min-scale source, covered once
+        markers = [int(n * 0.30), int(n * 0.65)]
+    else:
+        n = 30000
+        T = 48000
+        markers = [9000, 19500]
     audio = _tape_test_signal(n, sr)
-    T = 48000
-    markers = [9000, 19500]
     speeds = [1.0, 0.5, 2.0]          # exactly representable after fixq
     revs = [False, True, False]
 
@@ -1068,6 +1078,17 @@ def crossval_tape() -> list[Row]:
         rows.append(_row(name, fw_out, ref_out, bound=bound,
                          note=note + f"; final-position drift "
                               f"{drift:.2e} samples"))
+
+    if bench_seconds > 0:
+        run_pair(f"tape e2e [raw 12-bit mod convention, "
+                 f"{bench_seconds:.0f} s BENCH length]",
+                 -60.0, "bench config 1 duration: the full documented "
+                        "convention delta with the mod-curve quantization "
+                        "drift integrated over the whole performance "
+                        "(the q12 sin error is oscillatory/near-zero-mean, "
+                        "so the drift integral is bounded, not linear)",
+                 splice_on=False, inject_mod=False)
+        return rows
 
     # splice triggers (idx0 == boundary hit, Tape…py:851-853) are discrete
     # events: any reimplementation that does not replicate the reference's
@@ -1209,39 +1230,44 @@ def _dropout_replay(seed, nb):
     return rand_q, randint_q
 
 
-def crossval_scrub() -> list[Row]:
+def crossval_scrub(bench_seconds: float = 0.0) -> list[Row]:
+    """`bench_seconds > 0`: BENCH-LENGTH regime (VERDICT r4 item 2) — the
+    raw LFO convention driven for the bench config 2 duration so the q12
+    LFO drift integral is measured at performance length. Emits only the
+    bench rows in that mode."""
     from audio_suite_tpu.models import scrub as fw_scrub
     from audio_suite_tpu.ops import fixq
     import jax.numpy as jnp
     rows: list[Row] = []
 
-    # --- kernel row: the fractional wrap-around tape sampler ---
-    ns = load_ref_scrub()
-    rng = np.random.default_rng(21)
-    n = 16384
-    tape = (rng.standard_normal(n) * 0.5).astype(np.float32)
-    ns["audio_data"] = tape
-    pos = rng.uniform(-3 * n, 3 * n, size=4096)
-    ref_s = ns["sample_from_tape_array"](pos)
-    wf = np.asarray([fixq.split_pos_np(p) for p in pos], np.int64)
-    fw_s = np.asarray(fixq.gather_linear_wrap(
-        jnp.asarray(tape), jnp.asarray(wf[:, 0], jnp.int32),
-        jnp.asarray(wf[:, 1], jnp.int32)))
-    rows.append(_row("scrub sample_from_tape_array", fw_s, ref_s,
-                     bound=-55.0,
-                     note="reference float positions carry f64->f32 "
-                          "rounding near wrap; framework reads at exact "
-                          "22-bit fixed-point positions"))
+    if bench_seconds <= 0:
+        # --- kernel row: the fractional wrap-around tape sampler ---
+        ns = load_ref_scrub()
+        rng = np.random.default_rng(21)
+        n = 16384
+        tape = (rng.standard_normal(n) * 0.5).astype(np.float32)
+        ns["audio_data"] = tape
+        pos = rng.uniform(-3 * n, 3 * n, size=4096)
+        ref_s = ns["sample_from_tape_array"](pos)
+        wf = np.asarray([fixq.split_pos_np(p) for p in pos], np.int64)
+        fw_s = np.asarray(fixq.gather_linear_wrap(
+            jnp.asarray(tape), jnp.asarray(wf[:, 0], jnp.int32),
+            jnp.asarray(wf[:, 1], jnp.int32)))
+        rows.append(_row("scrub sample_from_tape_array", fw_s, ref_s,
+                         bound=-55.0,
+                         note="reference float positions carry f64->f32 "
+                              "rounding near wrap; framework reads at exact "
+                              "22-bit fixed-point positions"))
 
     # --- e2e: drive the literal callback block-by-block ---
     sr = 32768            # dyadic sr => block speeds exact under 12-bit sig
     bs = 1024
-    nb = 40               # 1.25 s
-    n_tape = 32768
+    nb = int(bench_seconds * sr / bs) if bench_seconds > 0 else 40  # 1.25 s
+    n_tape = 32768 if bench_seconds <= 0 else 32768 * 8
     tape = _tape_test_signal(n_tape, sr, seed=31, f_max=900.0)
 
     def run_scrub(name, bound, note, base_speed, gesture_blocks, jumps,
-                  heads, inject_lfo=True, dropouts=True):
+                  heads, inject_lfo=True, dropouts=True, decompose=False):
         cfg = fw_scrub.ScrubConfig(sample_rate=sr, head_count=heads,
                                    block_size=bs, seed=77,
                                    stretch_jitter=False, dropouts=dropouts)
@@ -1273,21 +1299,23 @@ def crossval_scrub() -> list[Row]:
         if inject_lfo:
             consts = fw_scrub._mod_consts(sr)
             ci, cf_ = consts["ints"], consts["flts"]
-            from audio_suite_tpu.ops import detmath
-            from audio_suite_tpu.ops.fixq import round_sig12_np
+            from audio_suite_tpu.ops import detmath, fixq as fq
             i = np.arange(nb * bs, dtype=np.uint32)
-            sinw = round_sig12_np(detmath.sin_cycles_np(
+            swh, swl = fq.sig12_pair_np(detmath.sin_cycles_precise_np(
                 detmath.phase_cycles_np(i, ci[0], ci[1], cf_[0])))
-            sinf = round_sig12_np(detmath.sin_cycles_np(
+            sfh, sfl = fq.sig12_pair_np(detmath.sin_cycles_precise_np(
                 detmath.phase_cycles_np(i, ci[2], ci[3], cf_[1])))
-            # scale so WOW_DEPTH * injected == cf2 * sinw in f64
+            # the framework's f32 hi/lo wow/flutter contributions
+            # (models/scrub._inc_np), scaled so WOW_DEPTH * injected
+            # reproduces them in the reference's f64 math
+            wow = cf_[2] * swh + cf_[2] * swl + cf_[4] * swh
+            flut = cf_[3] * sfh + cf_[3] * sfl + cf_[5] * sfh
             for b in range(nb):
                 s, e = b * bs, (b + 1) * bs
-                sin_blocks.append(sinw[s:e].astype(np.float64)
-                                  * (float(cf_[2]) / fw_scrub.WOW_DEPTH))
-                sin_blocks.append(sinf[s:e].astype(np.float64)
-                                  * (float(cf_[3])
-                                     / fw_scrub.FLUTTER_DEPTH))
+                sin_blocks.append(wow[s:e].astype(np.float64)
+                                  / fw_scrub.WOW_DEPTH)
+                sin_blocks.append(flut[s:e].astype(np.float64)
+                                  / fw_scrub.FLUTTER_DEPTH)
         rand_q, randint_q = _dropout_replay(77, nb) if dropouts else ([], [])
         rnd = _LegacyRandomShim(rand_q, randint_q)
         proxy = (_NpSinQueue(sin_blocks, rnd) if inject_lfo
@@ -1314,12 +1342,46 @@ def crossval_scrub() -> list[Row]:
         ref_final = float(ns2["tape_pos"])
         drift = abs((fw_final - ref_final + n_tape / 2) % n_tape
                     - n_tape / 2)
+        note = note + f"; final-position drift {drift:.2e} samples"
+        if decompose:
+            # f64 ground truth of the ideal semantics: exact time vector,
+            # f64 sin, f64 position integral — attributes the residual
+            total = np.clip(np.asarray(trace.base_speed) * sr
+                            + np.asarray(trace.gesture_speed),
+                            -fw_scrub.MAX_TAPE_SPEED,
+                            fw_scrub.MAX_TAPE_SPEED)
+            tt = np.arange(nb * bs, dtype=np.float64) / sr
+            sf64 = (1.0 + fw_scrub.WOW_DEPTH
+                    * np.sin(2 * np.pi * fw_scrub.WOW_FREQ * tt)
+                    + fw_scrub.FLUTTER_DEPTH
+                    * np.sin(2 * np.pi * fw_scrub.FLUTTER_FREQ * tt))
+            ideal = float(np.sum(np.repeat(total / sr, bs) * sf64))
+            note += (f"; final-pos error vs f64-exact semantics: "
+                     f"reference {abs(ref_final - ideal):.2e} smp, "
+                     f"framework {abs(fw_final - ideal):.2e} smp — the "
+                     f"residual IS the reference's f32 unwrapped-position "
+                     f"rounding (ulp 0.03 smp at |pos|~5e5 by 30 s)")
         rows.append(_row(name, np.asarray(fw_out, np.float64), ref_out,
-                         bound=bound,
-                         note=note + f"; final-position drift "
-                              f"{drift:.2e} samples"))
+                         bound=bound, note=note))
 
     # dyadic gestures: exact under the 12-bit block-speed convention
+    if bench_seconds > 0:
+        gest = np.zeros(nb)
+        gest[nb // 5:2 * nb // 5] = 4096.0
+        gest[2 * nb // 5:3 * nb // 5] = -2048.0
+        run_scrub(f"scrub e2e [raw convention, 3 heads, "
+                  f"{bench_seconds:.0f} s BENCH length]",
+                  -45.0, "bench config 2 duration; DOCUMENTED CONVENTION: "
+                         "the framework keeps exact fixed-point positions "
+                         "+ ~2**-24 LFO (detmath.sin_cycles_precise) while "
+                         "the reference accumulates its unwrapped position "
+                         "in f32, whose ulp reaches 0.03 samples by 30 s — "
+                         "the deviation is the reference's own rounding "
+                         "(see decomposition)",
+                  0.5, gest, np.full(nb, np.nan), 3, inject_lfo=False,
+                  decompose=True)
+        return rows
+
     gest = np.zeros(nb)
     gest[8:16] = 4096.0
     gest[16:24] = -2048.0
@@ -1355,7 +1417,8 @@ def _to_fw_events(ref_events):
                       engine=str(e.engine)) for e in ref_events]
 
 
-def crossval_patternlab(long_seconds: float = 0.0) -> list[Row]:
+def crossval_patternlab(long_seconds: float = 0.0,
+                        long_only: bool = False) -> list[Row]:
     import importlib
     load_ref_patternlab()
     r_music = importlib.import_module("ref_pl.app.music")
@@ -1366,6 +1429,24 @@ def crossval_patternlab(long_seconds: float = 0.0) -> list[Row]:
     from audio_suite_tpu.models import patternlab as fw_pl
     from audio_suite_tpu.events.notes import RenderConfig
     rows: list[Row] = []
+
+    if long_only:
+        ckw = dict(sample_rate=44100, seconds=float(long_seconds),
+                   bpm=132.0, swing=0.0, time_stretch=1.0,
+                   micro_jitter=0.002, master_gain=0.9, seed=4242)
+        rc = r_events.RenderConfig(**ckw)
+        fc = RenderConfig(**ckw)
+        ev_r = r_patterns.generate("Fibonacci Gate", rc,
+                                   steps=int(long_seconds * 8))
+        y_ref, _ = r_renderer.render(ev_r, rc)
+        y_fw, _ = fw_pl.render(_to_fw_events(ev_r), fc)
+        rows.append(_row(
+            f"patternlab e2e [long {long_seconds:.0f}s BENCH length]",
+            np.asarray(y_fw, np.float64), np.asarray(y_ref, np.float64),
+            bound=-60.0,
+            note=f"error-accumulation regime vs the literal reference "
+                 f"({len(ev_r)} notes, {long_seconds:.0f} s)"))
+        return rows
 
     # --- music math (host, expect exact) ---
     midis = np.linspace(20.0, 110.0, 181)
@@ -2146,6 +2227,15 @@ def main():
     if args.section in ("all", "forestfire"):
         failures += print_rows(crossval_forestfire(),
                                "Forest Fire vs literal reference")
+    if args.section == "benchlen":
+        # VERDICT r4 item 2: crossval at the durations the bench scores.
+        failures += print_rows(crossval_tape(bench_seconds=180.0),
+                               "TapeTUC BENCH-LENGTH (180 s raw)")
+        failures += print_rows(crossval_scrub(bench_seconds=30.0),
+                               "Scrubber BENCH-LENGTH (30 s raw)")
+        failures += print_rows(
+            crossval_patternlab(long_seconds=64.0, long_only=True),
+            "Pattern Lab BENCH-LENGTH (64 s)")
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 

@@ -61,6 +61,51 @@ def main():
            max_dev_dbfs(scrub.render_scrub(audio, cfg, trace),
                         render_scrub_np(sprog)), -120.0)
 
+    # --- TapeTrace live performance (round-4 path: trace-segmented table
+    # programs threading position/speed/splice/LFO state, tape.py:601-743)
+    trace = tape.TapeTrace()
+    trace.add(0.20, "set_speed", section=0, value=1.7)
+    trace.add(0.45, "set_reverse", section=1, value=True)
+    trace.add(0.70, "set_age", value=95)
+    trace.add(0.90, "add_marker", sample=sr // 2)
+    trace.add(1.10, "set_inertia", value=True)
+    trace.add(1.15, "set_inertia_amount", value=80)
+    trace.add(1.40, "seek", sample=100)
+    trace.add(1.60, "retime", target=1.2)
+    pt = tape.TapeParams(sample_rate=sr, markers=[30000, 60000],
+                         section_speeds=[1.0, 0.5, 2.0],
+                         section_reverse=[False, False, True],
+                         tape_age=40, current_speed=1.0)
+    nf_tr = sr * 2
+    segs = tape.build_trace_programs(audio, pt, trace, nf_tr)
+    rem, sidx = 0, 0
+    seg_outs = []
+    for s in segs:
+        o, st = render_tape_np(
+            s, init={"whole": s["init_whole"], "frac": s["init_frac"],
+                     "rem": rem, "sidx": sidx}, return_state=True)
+        rem, sidx = st["rem"], st["sidx"]
+        seg_outs.append(o)
+    ref_tr = np.concatenate(seg_outs)
+    report("tape TRACE (8-op live perf)",
+           max_dev_dbfs(tape.render_tape_trace(audio, pt, trace,
+                                               num_frames=nf_tr),
+                        ref_tr), -100.0)
+
+    # --- scrub live key events (round-4 path: per-control-segment reads
+    # over one global position pass, scrub.py:648)
+    ktrace = scrub.scripted_gesture_trace(
+        60, sr, drag_events=[(0.3, 5.0, 0.4)], base_speed=0.5,
+        jumps=[(0.9, 15000.0)],
+        key_events=[(0.2, "2"), (0.4, "Z"), (0.4, "Z"), (0.6, "1"),
+                    (0.8, "V"), (1.0, "3"), (1.1, "R"), (1.2, "Down")])
+    kprog = scrub.build_scrub_program(audio, cfg, ktrace, 5000.0,
+                                      with_inc=True)
+    assert len(kprog["head_segments"]) >= 5
+    report("scrub KEYS (live controls)",
+           max_dev_dbfs(scrub.render_scrub(audio, cfg, ktrace, 5000.0),
+                        render_scrub_np(kprog)), -60.0)
+
     from audio_suite_tpu.models import microsound as ms
     from oracles.microsound_ref import render_ref
     for mode in ("Noise burst", "Micro-chaos", "Dust impulses",
