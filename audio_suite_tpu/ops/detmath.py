@@ -138,6 +138,52 @@ def sin_cycles_precise_np(x):
                              np.where(m == 2, -sp, -cp))).astype(np.float32)
 
 
+def exp2_precise(y):
+    """2**y deterministic across NumPy/XLA/C++ to the FULL f32 result:
+    like sin_cycles_precise, every multiply in the Horner recurrence takes
+    two <=12-bit-significand operands (fixq.sig12_pair), so all products
+    are exact in f32 and XLA's FMA contraction cannot change any rounding
+    regardless of the surrounding fusion context.  (The plain exp2/exp2_np
+    pair is bit-identical when compiled in ISOLATION, but inside a large
+    fused kernel XLA may contract the `coef + r*inner` ladder into FMAs —
+    measured: ~6e-4 of samples drift 1 ulp, which the FM vibrato chain
+    amplifies by the carrier cycle count into DAC-step flips.)  Final
+    power-of-two scale multiply is exact."""
+    from .fixq import sig12_pair
+    y = jnp.asarray(y, jnp.float32)
+    k = jnp.rint(y)
+    r = y - k                                    # exact, |r| <= 0.5
+    rh, rl = sig12_pair(r)
+    c = jnp.full_like(r, _E2C[6])
+    for coef in (_E2C[5], _E2C[4], _E2C[3], _E2C[2], _E2C[1], _E2C[0]):
+        th, tl = sig12_pair(c)
+        c = coef + (rh * th + rh * tl + rl * th)
+    ch, cl = sig12_pair(c)
+    c = rh * ch + rh * cl + rl * ch
+    val = jnp.float32(1.0) + c
+    ki = jnp.clip(k.astype(jnp.int32), -126, 126)
+    scale = jnp.asarray((ki + 127) << 23).view(jnp.float32)
+    return val * scale
+
+
+def exp2_precise_np(y):
+    from .fixq import sig12_pair_np
+    y = np.asarray(y, np.float32)
+    k = np.rint(y)
+    r = (y - k).astype(np.float32)
+    rh, rl = sig12_pair_np(r)
+    c = np.full_like(r, _E2C[6])
+    for coef in (_E2C[5], _E2C[4], _E2C[3], _E2C[2], _E2C[1], _E2C[0]):
+        th, tl = sig12_pair_np(c)
+        c = (coef + (rh * th + rh * tl + rl * th)).astype(np.float32)
+    ch, cl = sig12_pair_np(c)
+    c = (rh * ch + rh * cl + rl * ch).astype(np.float32)
+    val = (np.float32(1.0) + c).astype(np.float32)
+    ki = np.clip(k.astype(np.int32), -126, 126)
+    scale = np.asarray((ki + 127) << 23, np.int32).view(np.float32)
+    return (val * scale).astype(np.float32)
+
+
 def cos_cycles(x):
     return sin_cycles(jnp.asarray(x, jnp.float32) + jnp.float32(0.25))
 

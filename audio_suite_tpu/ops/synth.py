@@ -223,9 +223,14 @@ def fm_note(i, n, f_ops, vel, chan_params, fade_samples, lp_a1, lp_a2,
 
     if vib_static is None or vib_static:
         lfo_depth = chan_params["lfo_depth"]
-        vib = detmath.sin_cycles(chan_params["lfo_hz"] * t)
-        vib_ratio = detmath.exp2((lfo_depth * vib)
-                                 * jnp.float32(1.0 / 12.0))
+        # precise (FMA-safe) twins: the plain sin_cycles/exp2 pair is
+        # bit-identical to the NumPy oracle when compiled in isolation, but
+        # inside this fused kernel XLA contracts their Horner ladders into
+        # FMAs — measured ~9 one-ulp vib_ratio flips per long note, each
+        # amplified by the carrier cycle count into a 14-bit DAC step flip
+        vib = detmath.sin_cycles_precise(chan_params["lfo_hz"] * t)
+        vib_ratio = detmath.exp2_precise((lfo_depth * vib)
+                                         * jnp.float32(1.0 / 12.0))
         has_vib = (lfo_depth > 0.0) if vib_static is None else True
 
     def op_sig(k, pm_cyc):

@@ -128,9 +128,12 @@ def render_fm_note_np(sr, n, midi, vel, p):
     t = np.arange(n, dtype=np.float32) * np.float32(1.0 / float(sr))
 
     if p.lfo_depth > 0.0:
-        vib = dm.sin_cycles_np(np.float32(p.lfo_hz) * t)
-        vib_ratio = dm.exp2_np((np.float32(p.lfo_depth) * vib)
-                               * np.float32(1.0 / 12.0))
+        # precise (FMA-safe) twins, matching ops/synth.py's vibrato chain:
+        # plain sin_cycles/exp2 drift 1 ulp vs the engine once XLA fuses the
+        # FM kernel (FMA contraction of the Horner ladders)
+        vib = dm.sin_cycles_precise_np(np.float32(p.lfo_hz) * t)
+        vib_ratio = dm.exp2_precise_np((np.float32(p.lfo_depth) * vib)
+                                       * np.float32(1.0 / 12.0))
     else:
         vib_ratio = None
 

@@ -230,11 +230,11 @@ def main_long():
         if not ok:
             failures.append(tag)
 
-    # --- Pattern Lab: >=60 s, >=2000 notes (synth_fm.py:27-36 quantizer
-    # error regime) ---
+    # --- Pattern Lab: 128 s, >=6000 notes (synth_fm.py:27-36 quantizer
+    # error regime; round-5 bar from VERDICT r4 item 3) ---
     from audio_suite_tpu.models import patternlab as pl
     from oracles.patternlab_ref import render_np
-    rc = pl.RenderConfig(sample_rate=44100, seconds=64.0, bpm=168, seed=17)
+    rc = pl.RenderConfig(sample_rate=44100, seconds=128.0, bpm=168, seed=17)
     events = []
     for gen in pl.list_generators():
         if gen == "Python Script":
@@ -243,7 +243,7 @@ def main_long():
     t0 = time.perf_counter()
     y, ev = pl.render(events, rc)
     t_dev = time.perf_counter() - t0
-    assert len(ev) >= 2000, f"long config must have >=2k notes, got {len(ev)}"
+    assert len(ev) >= 6000, f"long config must have >=6k notes, got {len(ev)}"
     t0 = time.perf_counter()
     ref = render_np(ev, rc)
     t_ref = time.perf_counter() - t0
