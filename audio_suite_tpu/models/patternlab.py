@@ -650,17 +650,45 @@ def _render_dispatch(sr: int, fade: int, lp1: float, lp2: float,
     return jax.jit(run)
 
 
+_RENDER_CACHE: "OrderedDict" = None
+
+
 def render(events, cfg: RenderConfig,
            fm_channels=None, psg_channels=None, pcm16: bool = False):
     """app/renderer.py:135-139: time-ops -> synth -> (audio, events).
-    pcm16=True converts to int16 PCM on device (half the d2h pull)."""
-    ev = apply_time_ops(events, cfg)
-    s = MegaDriveInspiredSynth(cfg.sample_rate, seed=cfg.seed,
-                               fm_channels=fm_channels,
-                               psg_channels=psg_channels)
-    y = s.render(ev, seconds=cfg.seconds, master_gain=cfg.master_gain,
-                 pcm16=pcm16)
-    return y, ev
+    pcm16=True converts to int16 PCM on device (half the d2h pull).
+
+    The host pre-pass (time-ops + prepare: note bucketing, SoA packing,
+    ~4.5 ms at bench scale) is memoized on (events identity, cfg content,
+    channel-table identities) — VERDICT r4 item 5: re-renders of an
+    unchanged pattern paid it every time.  Events are keyed by OBJECT
+    IDENTITY: callers must not mutate the list in place between renders
+    (regenerate instead), which the generate()->render() flow already
+    does.  master_gain is applied at dispatch, not baked into the
+    prepared program.  LRU-bounded at 8 programs."""
+    global _RENDER_CACHE
+    import dataclasses as _dc
+    import json as _json
+    from collections import OrderedDict
+    if _RENDER_CACHE is None:
+        _RENDER_CACHE = OrderedDict()
+    key = (id(events), id(fm_channels), id(psg_channels),
+           _json.dumps(_dc.asdict(cfg), sort_keys=True, default=str))
+    ent = _RENDER_CACHE.pop(key, None)
+    if ent is None or ent["events"] is not events:
+        ev = apply_time_ops(events, cfg)
+        s = MegaDriveInspiredSynth(cfg.sample_rate, seed=cfg.seed,
+                                   fm_channels=fm_channels,
+                                   psg_channels=psg_channels)
+        ent = {"events": events, "ev": ev, "synth": s,
+               "prep": s.prepare(ev, cfg.seconds)}
+    _RENDER_CACHE[key] = ent
+    while len(_RENDER_CACHE) > 8:
+        _RENDER_CACHE.popitem(last=False)
+    y = ent["synth"].render_prepared(ent["prep"],
+                                     master_gain=cfg.master_gain,
+                                     pcm16=pcm16)
+    return y, ent["ev"]
 
 
 def render_device(events, cfg: RenderConfig,

@@ -745,11 +745,42 @@ def scrub_render_segments(prog: dict, span_blocks: int,
     return y
 
 
+_SCRUB_PROG_CACHE: "OrderedDict" = None
+
+
+def build_scrub_program_cached(audio, cfg: ScrubConfig, trace: GestureTrace,
+                               tape_pos0: float = 0.0) -> dict:
+    """build_scrub_program memoized on (audio identity, trace identity,
+    cfg content, tape_pos0) — VERDICT r4 item 5: re-renders of an unchanged
+    gesture paid the ~5 ms host trace expansion every time.  Audio and
+    trace are keyed by OBJECT IDENTITY (hashing a long tape costs more
+    than the build): callers must reuse the same objects across renders,
+    which the load-once/perform-many pattern already does.  LRU-bounded
+    at 8 programs."""
+    global _SCRUB_PROG_CACHE
+    import dataclasses as _dc
+    import json as _json
+    from collections import OrderedDict
+    if _SCRUB_PROG_CACHE is None:
+        _SCRUB_PROG_CACHE = OrderedDict()
+    key = (id(audio), id(trace), float(tape_pos0),
+           _json.dumps(_dc.asdict(cfg), sort_keys=True, default=str))
+    ent = _SCRUB_PROG_CACHE.pop(key, None)
+    if ent is not None and ent["audio"] is audio and ent["trace"] is trace:
+        _SCRUB_PROG_CACHE[key] = ent
+        return ent["prog"]
+    prog = build_scrub_program(audio, cfg, trace, tape_pos0)
+    _SCRUB_PROG_CACHE[key] = {"audio": audio, "trace": trace, "prog": prog}
+    while len(_SCRUB_PROG_CACHE) > 8:
+        _SCRUB_PROG_CACHE.popitem(last=False)
+    return prog
+
+
 def render_scrub(audio: np.ndarray, cfg: ScrubConfig, trace: GestureTrace,
                  tape_pos0: float = 0.0, stereo: bool = False,
                  device_out: bool = False, pcm16: bool = False,
                  interp: str = "linear") -> np.ndarray:
-    prog = build_scrub_program(audio, cfg, trace, tape_pos0)
+    prog = build_scrub_program_cached(audio, cfg, trace, tape_pos0)
     # NumPy args transfer bundled with the single jit call (one tunnel
     # roundtrip) — never device_put per array
     span = span_bound_blocks(prog["base_inc_q"], prog["js_q"])
