@@ -72,6 +72,13 @@ class ModelParams:
     wind_strength: float = 0.75
     slope_strength: float = 0.35
     show_moisture_overlay: bool = False
+    # fast_noise=True fuses the per-cell draw sites (16-bit uniform pairs
+    # + byte-sliced Irwin-Hall(4) ember jitter, ops/noise.py): ~4x less
+    # hash work per cell-step at large grids.  Its own documented stream
+    # family — trajectories differ from the default mode (both are
+    # framework semantics; the reference's RNG differs from either), and
+    # the NumPy oracle twins both bit-exactly.
+    fast_noise: bool = False
 
     def wind_vec(self):
         ang = np.deg2rad(self.wind_dir_deg)
@@ -83,7 +90,7 @@ class ModelParams:
                 self.ember_max_dist, self.spotting_strength,
                 self.regrow_rate, self.ash_regrow_rate, self.moisture_relax,
                 self.rain_chance, self.rain_strength, self.wind_dir_deg,
-                self.wind_strength, self.slope_strength)
+                self.wind_strength, self.slope_strength, self.fast_noise)
 
 
 def quantized_consts(params: ModelParams) -> dict:
@@ -273,6 +280,37 @@ def step_device(carry, step_idx, params: ModelParams, seed: int,
     q12 = round_sig12
     wx, wy = jnp.float32(qc["wx"]), jnp.float32(qc["wy"])
 
+    # per-cell randomness, hoisted: 10 draw sites + 2 jitter normals.
+    # fast_noise=True fuses them — each 16-bit uniform_pair serves TWO
+    # sites from one hash and the ember jitter drops from Irwin-Hall(12)
+    # to byte-sliced Irwin-Hall(4), cutting per-cell hash mixes 32 -> 7.
+    # Lightning keeps its own 24-bit draw in BOTH modes: its rate (~3e-6)
+    # is below 16-bit granularity.  The draws are pure in (seed, step,
+    # cell), so hoisting is semantics-free; the NumPy oracle mirrors both
+    # branches bit-exactly (oracles/forestfire_ref.py).
+    if p.fast_noise:
+        d_spread, d_emit = noise.uniform_pair(
+            jnp.uint32(seed), cells, base_stream + jnp.uint32(_S_SPREAD))
+        d_ignite, d_dist = noise.uniform_pair(
+            jnp.uint32(seed), cells, base_stream + jnp.uint32(_S_IGNITE))
+        d_grow_e, d_grow_a = noise.uniform_pair(
+            jnp.uint32(seed), cells, base_stream + jnp.uint32(_S_GROW_E))
+        d_fuel_e, d_fuel_a = noise.uniform_pair(
+            jnp.uint32(seed), cells, base_stream + jnp.uint32(_S_FUEL_E))
+        jx_raw = noise.normal_ih4(
+            jnp.uint32(seed), cells,
+            base_stream + jnp.uint32(_NRM_OFFSET + _S_JX))
+        jy_raw = noise.normal_ih4(
+            jnp.uint32(seed), cells,
+            base_stream + jnp.uint32(_NRM_OFFSET + _S_JY))
+    else:
+        d_spread, d_emit = u(_S_SPREAD), u(_S_EMIT)
+        d_ignite, d_dist = u(_S_IGNITE), u(_S_DIST)
+        d_grow_e, d_grow_a = u(_S_GROW_E), u(_S_GROW_A)
+        d_fuel_e, d_fuel_a = u(_S_FUEL_E), u(_S_FUEL_A)
+        jx_raw, jy_raw = nrm(_S_JX), nrm(_S_JY)
+    d_light = u(_S_LIGHT)
+
     # rain (scalar per step)
     rain = noise.uniform(jnp.uint32(seed), jnp.uint32(0),
                          base_stream + jnp.uint32(_S_RAIN)) \
@@ -316,8 +354,8 @@ def step_device(carry, step_idx, params: ModelParams, seed: int,
                 * slope_boost * wind_boost)
     spread_p = jnp.clip(spread_p, 0.0, 0.99)
 
-    will_spread = trees & fire_n & (u(_S_SPREAD) < spread_p)
-    lightning = trees & (u(_S_LIGHT)
+    will_spread = trees & fire_n & (d_spread < spread_p)
+    lightning = trees & (d_light
                          < jnp.float32(p.lightning_rate) * moist_term)
     ignitions = will_spread | lightning
 
@@ -331,13 +369,13 @@ def step_device(carry, step_idx, params: ModelParams, seed: int,
     # cell in one step, where one shared draw replaces independent draws —
     # a statistically negligible, documented framework choice (reference
     # parity is statistical anyway: different RNG).
-    emit = fire & (u(_S_EMIT) < jnp.float32(p.ember_rate))
+    emit = fire & (d_emit < jnp.float32(p.ember_rate))
     d = (jnp.float32(3.0)
-         + jnp.floor(u(_S_DIST)
+         + jnp.floor(d_dist
                      * jnp.float32(p.ember_max_dist + 1 - 3)))
     sig = jnp.float32(qc["sig"])
-    jx = q12(nrm(_S_JX)) * sig     # exact: 12x12-bit significands
-    jy = q12(nrm(_S_JY)) * sig
+    jx = q12(jx_raw) * sig     # exact: 12x12-bit significands
+    jy = q12(jy_raw) * sig
     dx = (wx * d + jx).astype(jnp.int32)   # wx*d exact: 12-bit x small int
     dy = (wy * d + jy).astype(jnp.int32)
     yi = sp.rows(H)
@@ -351,7 +389,7 @@ def step_device(carry, step_idx, params: ModelParams, seed: int,
         * (jnp.float32(1.0) - moisture)
         * (jnp.float32(0.25) + jnp.float32(qc["c075"]) * q12(fuel)),
         0.0, 0.95)
-    ember_ignitions = arrived & trees & (u(_S_IGNITE) < p_ember)
+    ember_ignitions = arrived & trees & (d_ignite < p_ember)
 
     ignitions = ignitions | ember_ignitions
     n_ignitions = sp.rsum(ignitions)
@@ -363,14 +401,14 @@ def step_device(carry, step_idx, params: ModelParams, seed: int,
     ash = state == ASH
     grow_mod = jnp.clip(jnp.float32(0.6)
                         + jnp.float32(qc["c08"]) * q12(moisture), 0.0, 1.6)
-    regrow_empty = empty & (u(_S_GROW_E)
+    regrow_empty = empty & (d_grow_e
                             < jnp.float32(p.regrow_rate) * grow_mod)
-    regrow_ash = ash & (u(_S_GROW_A)
+    regrow_ash = ash & (d_grow_a
                         < jnp.float32(p.ash_regrow_rate) * grow_mod)
 
-    fuel_new_e = jnp.float32(0.5) + jnp.float32(qc["c03"]) * q12(u(_S_FUEL_E))
+    fuel_new_e = jnp.float32(0.5) + jnp.float32(qc["c03"]) * q12(d_fuel_e)
     fuel_new_a = jnp.float32(0.55) \
-        + jnp.float32(qc["c035n"]) * q12(u(_S_FUEL_A))
+        + jnp.float32(qc["c035n"]) * q12(d_fuel_a)
     state = jnp.where(regrow_empty | regrow_ash, TREE, state)
     fuel = jnp.where(regrow_empty, fuel_new_e, fuel)
     fuel = jnp.where(regrow_ash, fuel_new_a, fuel)

@@ -72,6 +72,54 @@ def uniform_signed_np(seed, idx, stream=0):
     return uniform_np(seed, idx, stream) * np.float32(2.0) - np.float32(1.0)
 
 
+_INV16 = np.float32(1.0 / (1 << 16))
+_IH4_SCALE = np.float32(np.sqrt(3.0) / 256.0)
+_MASK16 = np.uint32(0xFFFF)
+_MASK8 = np.uint32(0xFF)
+
+
+def uniform_pair(seed, idx, stream=0):
+    """TWO f32 uniforms in [0, 1) from ONE hash: hi/lo 16 bits.
+
+    Granularity 2**-16 (vs 2**-24 for `uniform`) — fine for Bernoulli
+    thresholds down to ~1e-4; do NOT use for rare events (e.g. the CA's
+    lightning_rate ~3e-6).  Halves the hash work of two independent draw
+    sites; streams are distinct from any single-site stream by
+    construction only if callers keep site ids disjoint (the CA does)."""
+    h = hash_u32(seed, idx, stream)
+    return ((h >> 16).astype(jnp.float32) * _INV16,
+            (h & _MASK16).astype(jnp.float32) * _INV16)
+
+
+def uniform_pair_np(seed, idx, stream=0):
+    h = hash_u32_np(seed, idx, stream)
+    return (((h >> np.uint32(16)).astype(np.float32) * _INV16),
+            ((h & _MASK16).astype(np.float32) * _INV16))
+
+
+def normal_ih4(seed, idx, stream=0):
+    """Approximate standard normal from ONE hash: Irwin-Hall(4) over the
+    hash's four bytes, centered and scaled by sqrt(12/4)/256.  12x cheaper
+    than `normal` (1 hash vs 12); granularity sqrt(3)/256 ~ 0.0068 and
+    support [-3.45, 3.45] — adequate wherever the consumer quantizes or
+    discretizes the draw anyway (the CA's ember jitter is q12-rounded then
+    floored to integer cell offsets).  All ops exact in f32 (integer sum
+    <= 1020, single rounding on the final scale), so the NumPy twin is
+    bit-identical."""
+    h = hash_u32(seed, idx, stream)
+    s = ((h & _MASK8) + ((h >> 8) & _MASK8)
+         + ((h >> 16) & _MASK8) + (h >> 24))
+    return (s.astype(jnp.float32) - jnp.float32(510.0)) * _IH4_SCALE
+
+
+def normal_ih4_np(seed, idx, stream=0):
+    h = hash_u32_np(seed, idx, stream)
+    s = ((h & _MASK8) + ((h >> np.uint32(8)) & _MASK8)
+         + ((h >> np.uint32(16)) & _MASK8) + (h >> np.uint32(24)))
+    return ((s.astype(np.float32) - np.float32(510.0))
+            * _IH4_SCALE).astype(np.float32)
+
+
 def normal(seed, idx, stream=0):
     """Irwin-Hall(12) standard normal: sum of 12 uniforms - 6."""
     acc = jnp.zeros(jnp.broadcast_shapes(np.shape(seed), np.shape(idx)),

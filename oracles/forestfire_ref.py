@@ -53,6 +53,28 @@ def step_np(carry: dict, step_idx: int, params, seed: int):
     qc = quantized_consts(p)
     wx, wy = np.float32(qc["wx"]), np.float32(qc["wy"])
 
+    # hoisted draws, twinning models/forestfire.py's two noise modes
+    if getattr(p, "fast_noise", False):
+        d_spread, d_emit = noise.uniform_pair_np(
+            np.uint32(seed), cells, base + np.uint32(_S_SPREAD))
+        d_ignite, d_dist = noise.uniform_pair_np(
+            np.uint32(seed), cells, base + np.uint32(_S_IGNITE))
+        d_grow_e, d_grow_a = noise.uniform_pair_np(
+            np.uint32(seed), cells, base + np.uint32(_S_GROW_E))
+        d_fuel_e, d_fuel_a = noise.uniform_pair_np(
+            np.uint32(seed), cells, base + np.uint32(_S_FUEL_E))
+        jx_raw = noise.normal_ih4_np(
+            np.uint32(seed), cells, base + np.uint32(_NRM_OFFSET + _S_JX))
+        jy_raw = noise.normal_ih4_np(
+            np.uint32(seed), cells, base + np.uint32(_NRM_OFFSET + _S_JY))
+    else:
+        d_spread, d_emit = u(_S_SPREAD), u(_S_EMIT)
+        d_ignite, d_dist = u(_S_IGNITE), u(_S_DIST)
+        d_grow_e, d_grow_a = u(_S_GROW_E), u(_S_GROW_A)
+        d_fuel_e, d_fuel_a = u(_S_FUEL_E), u(_S_FUEL_A)
+        jx_raw, jy_raw = nrm(_S_JX), nrm(_S_JY)
+    d_light = u(_S_LIGHT)
+
     rain = bool(u(_S_RAIN, np.uint32(0)) < np.float32(p.rain_chance))
     if rain:
         moisture = np.clip(moisture + np.float32(p.rain_strength),
